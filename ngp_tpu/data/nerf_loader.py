@@ -1,0 +1,265 @@
+"""NeRF dataset ingestion: transforms.json → NerfDataset.
+
+Python re-implementation of the reference loader's behavior
+(ref: src/nerf_loader.cu, nerf_loader.h:65-182):
+- merges one or more transforms.json files
+- global keys: camera_angle_x/y or fl_x/fl_y, cx/cy/w/h, k1/k2/p1/p2,
+  aabb_scale, scale, offset, per-frame overrides, sharpness culling
+- **fork defaults**: scale = 1.0, offset = (0,0,0) (identity world mapping
+  so Blender units pass through; ref: nerf_loader.h:28,84 +
+  src/nerf_loader.cu:185,406) — upstream instant-ngp used 0.33/(.5,.5,.5)
+- NeRF→NGP convention: cycle axes xyz←yzx, negate columns 1,2, apply
+  scale+offset (ref: nerf_matrix_to_ngp, nerf_loader.h:112-132)
+- images loaded in parallel (thread pool), sRGB→linear premultiplied RGBA
+- sidecars: <name>.alpha.<ext> alpha override, dynamic_mask_<name>.png
+  (masked pixels get negative red and are skipped in training),
+  per-frame depth maps via integer_depth_scale
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+NERF_SCALE = 1.0  # fork default (ref: nerf_loader.h:28)
+
+
+@dataclasses.dataclass
+class NerfDataset:
+    """Host-side dataset; arrays are numpy, stacked per image."""
+    images: np.ndarray            # (I, H, W, 4) float32 linear premultiplied
+    xforms: np.ndarray            # (I, 3, 4) camera→world, NGP convention
+    xforms_end: np.ndarray        # (I, 3, 4) rolling-shutter end transforms
+    focal: np.ndarray             # (I, 2) fl_x, fl_y in pixels
+    principal: np.ndarray         # (I, 2) cx, cy normalized to [0,1]
+    resolution: np.ndarray        # (I, 2) W, H
+    lens_params: np.ndarray       # (I, 4) k1 k2 p1 p2 (OpenCV) or zeros
+    lens_is_opencv: bool
+    depth_images: Optional[np.ndarray]   # (I, H, W) float32 or None
+    aabb_scale: int
+    scale: float
+    offset: np.ndarray            # (3,)
+    n_extra_learnable_dims: int
+    sharpness: np.ndarray         # (I,)
+    paths: list
+    up: np.ndarray                # (3,) up vector (NGP space)
+
+    @property
+    def n_images(self) -> int:
+        return self.images.shape[0]
+
+
+def nerf_matrix_to_ngp(m: np.ndarray, scale: float, offset: np.ndarray,
+                       from_mitsuba: bool = False) -> np.ndarray:
+    """ref: nerf_loader.h:112-132."""
+    r = np.array(m[:3, :4], np.float32)
+    r[:, 1] *= -1
+    r[:, 2] *= -1
+    r[:, 3] = r[:, 3] * scale + offset
+    if from_mitsuba:
+        r[:, 0] *= -1
+        r[:, 2] *= -1
+    else:
+        r = r[[1, 2, 0], :]
+    return r
+
+
+def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray,
+                       from_mitsuba: bool = False) -> np.ndarray:
+    r = np.array(m[:3, :4], np.float32)
+    if from_mitsuba:
+        r[:, 0] *= -1
+        r[:, 2] *= -1
+    else:
+        r = r[[2, 0, 1], :]
+    r[:, 1] *= -1
+    r[:, 2] *= -1
+    r[:, 3] = (r[:, 3] - offset) / scale
+    return r
+
+
+def _load_image_rgba(path: Path) -> np.ndarray:
+    from ngp_tpu.data.image_io import load_exr, load_stbi
+    if path.suffix.lower() == ".exr":
+        img = load_exr(path)
+        if img.shape[-1] == 3:
+            img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
+        return img.astype(np.float32)
+    return load_stbi(path)  # sRGB→linear, premultiplied
+
+
+def _find_image_path(dirpath: Path, rel: str) -> Optional[Path]:
+    p = dirpath / rel
+    if p.exists():
+        return p
+    for ext in (".png", ".jpg", ".jpeg", ".exr", ".bmp", ".tga"):
+        q = p.with_suffix(ext)
+        if q.exists():
+            return q
+    return None
+
+
+def load_nerf(paths, sharpen: float = 0.0,
+              sharpness_discard_threshold: Optional[float] = None,
+              max_images: Optional[int] = None) -> NerfDataset:
+    """Load and merge one or more transforms.json files.
+
+    ``paths``: dataset dir, a transforms.json path, or a list of either.
+    """
+    if not isinstance(paths, (list, tuple)):
+        paths = [paths]
+    json_paths = []
+    for p in paths:
+        p = Path(p)
+        if p.is_dir():
+            # dir scan like the reference: all *.json with "transforms" in
+            # the name, else transforms.json (ref: testbed_nerf.cu:2735-2758)
+            cands = sorted(p.glob("*transforms*.json")) or [p / "transforms.json"]
+            json_paths += cands
+        else:
+            json_paths.append(p)
+
+    frames, globals_list = [], []
+    for jp in json_paths:
+        cfg = json.loads(Path(jp).read_text())
+        globals_list.append((jp.parent, cfg))
+        fs = sorted(cfg.get("frames", []), key=lambda f: f.get("file_path", ""))
+        if "n_frames" in cfg:
+            fs = fs[: int(cfg["n_frames"])]
+        for fr in fs:
+            frames.append((jp.parent, cfg, fr))
+
+    basedir, g0 = globals_list[0]
+    aabb_scale = int(g0.get("aabb_scale", 1))
+    if aabb_scale & (aabb_scale - 1) or aabb_scale > 128:
+        raise ValueError(f"aabb_scale must be a power of two ≤ 128, got {aabb_scale}")
+    scale = float(g0.get("scale", NERF_SCALE))
+    offset = np.asarray(g0.get("offset", [0.0, 0.0, 0.0]), np.float32)
+    from_mitsuba = bool(g0.get("from_mitsuba", False))
+    n_extra = int(g0.get("n_extra_learnable_dims", 0))
+    integer_depth_scale = float(g0.get("integer_depth_scale", 0.0))
+    up_nerf = np.asarray(g0.get("up", [0.0, 1.0, 0.0]), np.float32)
+    up = up_nerf[[1, 2, 0]] if not from_mitsuba else -up_nerf
+
+    # sharpness-based blurry-frame culling (ref: src/nerf_loader.cu:365-390)
+    thresh = sharpness_discard_threshold
+    if thresh is None:
+        thresh = float(g0.get("sharpness_discard_threshold", 0.0))
+    if thresh > 0.0 and frames:
+        sharp = np.array([f[2].get("sharpness", 1e9) for f in frames])
+        keep = []
+        for i in range(len(frames)):
+            lo, hi = max(0, i - 1), min(len(frames), i + 2)
+            if sharp[i] >= np.mean(sharp[lo:hi]) * thresh:
+                keep.append(frames[i])
+        frames = keep
+
+    if max_images:
+        frames = frames[:max_images]
+    if not frames:
+        raise ValueError("no frames found")
+
+    def intrinsics_for(cfg: dict, fr: dict, W: float, H: float):
+        src = {**cfg, **fr}  # per-frame overrides win
+        if "fl_x" in src:
+            fx = float(src["fl_x"])
+        elif "camera_angle_x" in src:
+            fx = 0.5 * W / math.tan(0.5 * float(src["camera_angle_x"]))
+        else:
+            fx = 0.0
+        if "fl_y" in src:
+            fy = float(src["fl_y"])
+        elif "camera_angle_y" in src:
+            fy = 0.5 * H / math.tan(0.5 * float(src["camera_angle_y"]))
+        else:
+            fy = fx
+        if fx == 0.0:
+            fx = fy
+        cx = float(src.get("cx", W / 2.0)) / W
+        cy = float(src.get("cy", H / 2.0)) / H
+        lens = np.array([float(src.get(k, 0.0)) for k in
+                         ("k1", "k2", "p1", "p2")], np.float32)
+        return fx, fy, cx, cy, lens
+
+    def load_frame(args):
+        dirpath, cfg, fr = args
+        ipath = _find_image_path(dirpath, fr["file_path"])
+        if ipath is None:
+            return None
+        img = _load_image_rgba(ipath)
+        H, W = img.shape[:2]
+        # alpha sidecar (ref: nerf_loader.cu:586-601)
+        apath = ipath.with_name(ipath.stem + ".alpha" + ipath.suffix)
+        if apath.exists():
+            from ngp_tpu.data.image_io import load_stbi
+            a = load_stbi(apath, premultiply=False)[..., 0:1]
+            img = np.concatenate([img[..., :3] * a, a], -1)
+        # dynamic mask sidecar → negative red sentinel
+        mpath = ipath.with_name("dynamic_mask_" + ipath.stem + ".png")
+        if mpath.exists():
+            from PIL import Image
+            with Image.open(mpath) as im:
+                m = np.asarray(im.convert("L"), np.float32) / 255.0
+            img = img.copy()
+            img[..., 0] = np.where(m > 0.5, -1.0, img[..., 0])
+        depth = None
+        if "depth_path" in fr and integer_depth_scale > 0:
+            dpath = dirpath / fr["depth_path"]
+            if dpath.exists():
+                from PIL import Image
+                with Image.open(dpath) as im:
+                    depth = np.asarray(im, np.float32) * integer_depth_scale
+        mat = np.asarray(fr.get("transform_matrix",
+                                fr.get("transform_matrix_start")), np.float32)
+        mat_end = np.asarray(fr.get("transform_matrix_end", mat), np.float32)
+        xf = nerf_matrix_to_ngp(mat, scale, offset, from_mitsuba)
+        xf_end = nerf_matrix_to_ngp(mat_end, scale, offset, from_mitsuba)
+        fx, fy, cx, cy, lens = intrinsics_for(cfg, fr, W, H)
+        return (img, xf, xf_end, np.array([fx, fy], np.float32),
+                np.array([cx, cy], np.float32), np.array([W, H], np.int32),
+                lens, depth, float(fr.get("sharpness", 1000.0)), ipath)
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = [r for r in pool.map(load_frame, frames) if r is not None]
+    if not results:
+        raise ValueError("no images could be loaded")
+
+    # The engine batches per-image arrays; resolutions must agree (the
+    # reference supports mixed sizes — pad to the max and mask).
+    Hs = [r[0].shape[0] for r in results]
+    Ws = [r[0].shape[1] for r in results]
+    Hm, Wm = max(Hs), max(Ws)
+    imgs = np.zeros((len(results), Hm, Wm, 4), np.float32)
+    depths = None
+    if any(r[7] is not None for r in results):
+        depths = np.zeros((len(results), Hm, Wm), np.float32)
+    for i, r in enumerate(results):
+        h, w = r[0].shape[:2]
+        imgs[i, :h, :w] = r[0]
+        if depths is not None and r[7] is not None:
+            depths[i, :h, :w] = r[7]
+
+    lens = np.stack([r[6] for r in results])
+    return NerfDataset(
+        images=imgs,
+        xforms=np.stack([r[1] for r in results]),
+        xforms_end=np.stack([r[2] for r in results]),
+        focal=np.stack([r[3] for r in results]),
+        principal=np.stack([r[4] for r in results]),
+        resolution=np.stack([r[5] for r in results]),
+        lens_params=lens,
+        lens_is_opencv=bool(np.abs(lens).sum() > 0),
+        depth_images=depths,
+        aabb_scale=aabb_scale,
+        scale=scale,
+        offset=offset,
+        n_extra_learnable_dims=n_extra,
+        sharpness=np.asarray([r[8] for r in results], np.float32),
+        paths=[r[9] for r in results],
+        up=up,
+    )

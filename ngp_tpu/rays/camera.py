@@ -1,0 +1,81 @@
+"""Camera/ray math: pixel→ray mapping, lens distortion, AABB intersection.
+
+Functional equivalents of the reference's device helpers
+(ref: common_device.cuh:236-317 pixel_to_ray et al., camera_models.cuh) as
+vectorized jnp ops usable inside jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def iterative_opencv_undistort(u, v, k1, k2, p1, p2, iters: int = 8):
+    """Invert the Brown-Conrady distortion by fixed-point iteration
+    (ref: iterative_opencv_lens_undistortion, common_device.cuh)."""
+    x, y = u, v
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * k2)
+        dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x = (u - dx) / radial
+        y = (v - dy) / radial
+    return x, y
+
+
+def pixel_to_ray_train(xy, xform, focal, principal, resolution, lens_params,
+                       use_opencv: bool):
+    """Training-ray generation (ref: generate_training_samples_nerf,
+    src/testbed_nerf.cu:1169-1195).
+
+    xy: (N,2) in [0,1]; xform (N,3,4); focal (N,2); principal (N,2);
+    resolution (N,2) float; lens_params (N,4).
+    Returns (origin (N,3), dir_unnormalized (N,3)).
+    """
+    d = jnp.stack([
+        (xy[:, 0] - principal[:, 0]) * resolution[:, 0] / focal[:, 0],
+        (xy[:, 1] - principal[:, 1]) * resolution[:, 1] / focal[:, 1],
+        jnp.ones_like(xy[:, 0]),
+    ], axis=-1)
+    if use_opencv:
+        x, y = iterative_opencv_undistort(
+            d[:, 0], d[:, 1], lens_params[:, 0], lens_params[:, 1],
+            lens_params[:, 2], lens_params[:, 3])
+        d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    origin = xform[:, :, 3]
+    world_d = jnp.einsum("nij,nj->ni", xform[:, :, :3], d)
+    return origin, world_d
+
+
+def ray_aabb_intersect(o, d, aabb_min, aabb_max):
+    """Slab test; returns (tmin, tmax), empty when tmin > tmax
+    (ref: BoundingBox::ray_intersect, bounding_box.cuh)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d >= 0, 1e-12, -1e-12), d)
+    t0 = (aabb_min - o) * inv
+    t1 = (aabb_max - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return tmin, tmax
+
+
+def latlong_to_dir(xy):
+    """Equirectangular pixel → direction (ref: common_device.cuh:248-258)."""
+    theta = (xy[:, 1] - 0.5) * jnp.pi
+    phi = (xy[:, 0] - 0.5) * 2.0 * jnp.pi
+    ct = jnp.cos(theta)
+    return jnp.stack([ct * jnp.sin(phi), jnp.sin(theta), ct * jnp.cos(phi)], -1)
+
+
+def f_theta_undistort(xy_rel, params, default_dir):
+    """F-theta (fisheye polynomial) undistortion — inverse polynomial eval
+    (ref: f_theta_undistortion). params: (...,7) = p0..p4, w, h scales."""
+    # r = |xy| in normalized units; angle = poly(r); dir from angle.
+    r = jnp.linalg.norm(xy_rel, axis=-1)
+    p = params
+    theta = p[..., 0] + r * (p[..., 1] + r * (p[..., 2] + r * (p[..., 3] + r * p[..., 4])))
+    sin_t = jnp.sin(theta)
+    safe_r = jnp.maximum(r, 1e-9)
+    return jnp.stack([xy_rel[..., 0] / safe_r * sin_t,
+                      xy_rel[..., 1] / safe_r * sin_t,
+                      jnp.cos(theta)], axis=-1)

@@ -8,3 +8,18 @@ fixed-shape compute under jit.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: compiles through the remote TPU tunnel run
+# minutes; caching them across processes is a large quality-of-life win.
+_cache_dir = _os.environ.get("NGP_TPU_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/ngp_tpu_jax"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass

@@ -174,6 +174,25 @@ def update_grid(
     n_cells = GRID_VOLUME * n_cascades
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
+    if n_uniform >= n_cells:
+        # full sweep (warmup, ref: all cells while step < 256): enumerate
+        # every cell once — no random probing needed.
+        flat_idx = jnp.arange(n_cells, dtype=jnp.int32)
+        level = flat_idx // GRID_VOLUME
+        x, y, z = morton3d_invert(flat_idx % GRID_VOLUME)
+        cell = jnp.stack([x, y, z], -1).astype(jnp.float32)
+        u = jax.random.uniform(k1, (n_cells, 3))
+        lv = jnp.exp2(level.astype(jnp.float32))[:, None]
+        pos = ((cell + u) / NERF_GRIDSIZE - 0.5) * lv + 0.5
+        warped = (pos - aabb_min) / aabb_size
+        sigma = density_fn(warped)
+        tmp = jnp.zeros((n_cells,), jnp.float32).at[flat_idx].max(
+            sigma * MIN_CONE_STEPSIZE, mode="drop")
+        density = jnp.where(grid.density < 0.0, grid.density,
+                            jnp.maximum(grid.density * decay, tmp))
+        return rebuild_bitfield(grid._replace(
+            density=density, ema_step=grid.ema_step + 1), max_cascade)
+
     def sample_cells(key, n, thresh):
         kl, kp, kr = jax.random.split(key, 3)
         level = jax.random.randint(kl, (n,), 0, n_cascades)

@@ -1,0 +1,122 @@
+"""Shared occupancy-grid ray marching (training + rendering).
+
+The TPU-native march: cone-stepping t_{k+1} = t_k + clamp(t_k·c, Δm, ΔM)
+has an exact 3-phase closed form, so sample generation is a fully-parallel
+lattice evaluation + occupancy filter + one compaction scatter — no
+sequential DDA loop, no atomics (contrast: ref src/testbed_nerf.cu
+generate_training_samples_nerf / NerfTracer::trace).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ngp_tpu.common import MAX_CONE_STEPSIZE, MIN_CONE_STEPSIZE
+from ngp_tpu.grid import occupancy as occ
+from ngp_tpu.rays.camera import ray_aabb_intersect
+
+
+def calc_dt(t, cone_angle):
+    return jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
+
+
+def cone_angle_for(aabb_scale: int) -> float:
+    """ref: src/testbed_nerf.cu:2730 — 1/256 for aabb_scale > 1, else 0."""
+    return 1.0 / 256.0 if aabb_scale > 1 else 0.0
+
+
+def step_lattice(t0: jax.Array, cone_angle: float, n_steps: int) -> jax.Array:
+    """Closed form of k cone-steps from t0: (R,) → (R, K) sample times.
+
+    Phases of the recurrence t' = t + clamp(t·c, Δm, ΔM):
+      linear  (t < Δm/c):  t_k = t0 + k·Δm
+      geometric:           t_k = t_end_p1 · (1+c)^(k-n1)
+      linear  (t ≥ ΔM/c):  t_k = t_end_p2 + (k-n1-n2)·ΔM
+    cone_angle == 0 → uniform Δm lattice.
+    """
+    k = jnp.arange(n_steps, dtype=jnp.float32)[None, :]   # (1, K)
+    t0 = t0[:, None]                                      # (R, 1)
+    dm, dM = MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE
+    if cone_angle <= 0.0:
+        return t0 + k * dm
+    c = cone_angle
+    ta, tb = dm / c, dM / c
+    n1 = jnp.ceil(jnp.maximum(ta - t0, 0.0) / dm)
+    t_p1end = t0 + n1 * dm
+    ratio = jnp.log1p(c)
+    n2 = jnp.ceil(jnp.maximum(
+        jnp.log(jnp.maximum(tb / jnp.maximum(t_p1end, 1e-10), 1.0)), 0.0) / ratio)
+    t_p2end = t_p1end * jnp.exp(n2 * ratio)
+    in1 = k < n1
+    in2 = (~in1) & (k < n1 + n2)
+    t_lin = t0 + k * dm
+    t_geo = t_p1end * jnp.exp((k - n1) * ratio)
+    t_top = t_p2end + (k - n1 - n2) * dM
+    return jnp.where(in1, t_lin, jnp.where(in2, t_geo, t_top))
+
+
+def march_rays(bitfield, o, d, key, n_rays: int, march_steps: int,
+               cone_angle: float, max_cascade: int,
+               aabb_min, aabb_size, t_start_min: float = 0.0):
+    """Lattice sample generation. Returns (t, dt, emit) each (R, K)."""
+    tmin, tmax = ray_aabb_intersect(o, d, aabb_min, aabb_min + aabb_size)
+    tmin = jnp.maximum(tmin, t_start_min)
+    if key is not None:
+        u = jax.random.uniform(key, (n_rays,))
+        t0 = tmin + calc_dt(tmin, cone_angle) * u
+    else:
+        t0 = tmin
+    t = step_lattice(t0, cone_angle, march_steps)          # (R, K)
+    dt = calc_dt(t, cone_angle)
+    pos = o[:, None, :] + t[..., None] * d[:, None, :]
+    inside = (t < tmax[:, None]) & (tmax > tmin)[:, None]
+    flat_pos = pos.reshape(-1, 3)
+    mip = occ.mip_from_dt(dt.reshape(-1), flat_pos, max_cascade)
+    occd = occ.occupied_at(bitfield, flat_pos, mip).reshape(n_rays, -1)
+    return t, dt, inside & occd
+
+
+def compact_samples(t, dt, emit, n_rays: int, capacity: int):
+    """(R, K) → (S,) ray-major compaction with static capacity S.
+
+    Rays whose samples don't fully fit are dropped entirely (prefix
+    property — mirrors the reference's max_samples overflow behavior).
+    Returns (t, dt, ray_id, counts, offsets, fits, total).
+    """
+    S = capacity
+    K = t.shape[1]
+    flat_emit = emit.reshape(-1)
+    pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
+    total = pos_in_stream[-1] + 1
+    counts = emit.sum(axis=1).astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    fits = (offsets + counts) <= S
+    keep = flat_emit & jnp.repeat(fits, K)
+    dst = jnp.where(keep, pos_in_stream, S)
+    ray_ids = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), K)
+    s_t = jnp.zeros((S,), jnp.float32).at[dst].set(t.reshape(-1), mode="drop")
+    s_dt = jnp.zeros((S,), jnp.float32).at[dst].set(dt.reshape(-1), mode="drop")
+    s_ray = jnp.full((S,), n_rays, jnp.int32).at[dst].set(ray_ids, mode="drop")
+    return s_t, s_dt, s_ray, counts, offsets, fits, total
+
+
+def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int):
+    """Segmented volumetric compositing on a compacted sample stream.
+
+    Uses log(1-α) = -σ·Δt exactly: per-ray transmittance is a segmented
+    cumsum. Returns (rgb_ray (R,3), opacity (R,), depth_num (R,)) where
+    depth_num = Σ w·t needs the caller's t (pass rgb=(rgb, t-stack) style
+    helpers instead when depth is needed).
+    """
+    S = sigma.shape[0]
+    valid = s_ray < n_rays
+    sdt = jnp.where(valid, sigma * s_dt, 0.0)
+    cum = jnp.cumsum(sdt)
+    excl = cum - sdt
+    seg_base = jnp.where(counts > 0, excl[jnp.clip(offsets, 0, S - 1)], 0.0)
+    T = jnp.exp(-(excl - seg_base[jnp.clip(s_ray, 0, n_rays - 1)]))
+    alpha = 1.0 - jnp.exp(-sdt)
+    w = jnp.where(valid, T * alpha, 0.0)
+    rgb_ray = jnp.zeros((n_rays, 3)).at[s_ray].add(w[:, None] * rgb, mode="drop")
+    opt_depth = jnp.zeros((n_rays,)).at[s_ray].add(sdt, mode="drop")
+    return rgb_ray, 1.0 - jnp.exp(-opt_depth), w

@@ -40,49 +40,9 @@ from ngp_tpu.nn.models import NerfNetwork
 from ngp_tpu.opt.losses import loss_fn as make_loss
 from ngp_tpu.opt.optimizers import (AdamConfig, apply_update,
                                     inference_params, init_state)
-from ngp_tpu.rays.camera import pixel_to_ray_train, ray_aabb_intersect
-
-
-def calc_dt(t, cone_angle):
-    return jnp.clip(t * cone_angle, MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE)
-
-
-def cone_angle_for(aabb_scale: int) -> float:
-    """ref: src/testbed_nerf.cu:2730 — 1/256 for aabb_scale > 1, else 0."""
-    return 1.0 / 256.0 if aabb_scale > 1 else 0.0
-
-
-def step_lattice(t0: jax.Array, cone_angle: float, n_steps: int) -> jax.Array:
-    """Closed form of k cone-steps from t0: (R,) → (R, K) sample times.
-
-    The recurrence t' = t + clamp(t·c, Δm, ΔM) has phases:
-      linear  (t < Δm/c):  t_k = t0 + k·Δm            until t reaches Δm/c
-      geometric:           t_k = t_a · (1+c)^k         until ΔM/c
-      linear  (t ≥ ΔM/c):  t_k = t_b + k·ΔM
-    For cone_angle == 0 the lattice is uniform Δm.
-    """
-    k = jnp.arange(n_steps, dtype=jnp.float32)[None, :]   # (1, K)
-    t0 = t0[:, None]                                      # (R, 1)
-    dm, dM = MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE
-    if cone_angle <= 0.0:
-        return t0 + k * dm
-    c = cone_angle
-    ta, tb = dm / c, dM / c
-    # steps spent in phase 1 (from t0):
-    n1 = jnp.ceil(jnp.maximum(ta - t0, 0.0) / dm)
-    # t at end of phase 1:
-    t_p1end = t0 + n1 * dm
-    # steps in phase 2 from t_p1end to tb:
-    ratio = jnp.log1p(c)
-    n2 = jnp.ceil(jnp.maximum(
-        jnp.log(jnp.maximum(tb / jnp.maximum(t_p1end, 1e-10), 1.0)), 0.0) / ratio)
-    t_p2end = t_p1end * jnp.exp(n2 * ratio)
-    in1 = k < n1
-    in2 = (~in1) & (k < n1 + n2)
-    t_lin = t0 + k * dm
-    t_geo = t_p1end * jnp.exp((k - n1) * ratio)
-    t_top = t_p2end + (k - n1 - n2) * dM
-    return jnp.where(in1, t_lin, jnp.where(in2, t_geo, t_top))
+from ngp_tpu.rays.camera import pixel_to_ray_train
+from ngp_tpu.rays.marching import (calc_dt, compact_samples, cone_angle_for,
+                                   march_rays, step_lattice)
 
 
 class TrainStepStats(NamedTuple):
@@ -194,45 +154,13 @@ class NerfTrainer:
         return img, xy, o, d, texsamp
 
     def _march(self, bitfield, o, d, key, n_rays):
-        """Lattice sample generation. Returns per-(ray,step) (t, dt, emit)."""
-        K = self.tcfg.march_steps
-        tmin, tmax = ray_aabb_intersect(
-            o, d, self.aabb_min, self.aabb_min + self.aabb_size)
-        tmin = jnp.maximum(tmin, 0.0)
-        # jittered start like the reference (startt += dt(startt)·u)
-        u = jax.random.uniform(key, (n_rays,))
-        t0 = tmin + calc_dt(tmin, self.cone_angle) * u
-
-        t = step_lattice(t0, self.cone_angle, K)               # (R, K)
-        dt = calc_dt(t, self.cone_angle)
-        pos = o[:, None, :] + t[..., None] * d[:, None, :]     # (R, K, 3)
-        inside = (t < tmax[:, None]) & (tmax > tmin)[:, None]
-
-        flat_pos = pos.reshape(-1, 3)
-        mip = occ.mip_from_dt(dt.reshape(-1), flat_pos, self.max_cascade)
-        occd = occ.occupied_at(bitfield, flat_pos, mip).reshape(n_rays, K)
-        emit = inside & occd
-        return t, dt, emit
+        return march_rays(bitfield, o, d, key, n_rays, self.tcfg.march_steps,
+                          self.cone_angle, self.max_cascade,
+                          self.aabb_min, self.aabb_size)
 
     def _compact(self, t, dt, emit, n_rays):
-        """(R, K) → (S,) ray-major compaction with static S."""
-        S = self.tcfg.target_batch_size
-        K = self.tcfg.march_steps
-        flat_emit = emit.reshape(-1)
-        pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
-        total = pos_in_stream[-1] + 1
-
-        counts = emit.sum(axis=1).astype(jnp.int32)            # (R,)
-        offsets = jnp.cumsum(counts) - counts                   # (R,)
-        fits = (offsets + counts) <= S                          # drop overflow rays
-        keep = flat_emit & jnp.repeat(fits, K)
-        dst = jnp.where(keep, pos_in_stream, S)                 # S → dropped
-
-        ray_ids = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), K)
-        s_t = jnp.zeros((S,), jnp.float32).at[dst].set(t.reshape(-1), mode="drop")
-        s_dt = jnp.zeros((S,), jnp.float32).at[dst].set(dt.reshape(-1), mode="drop")
-        s_ray = jnp.full((S,), n_rays, jnp.int32).at[dst].set(ray_ids, mode="drop")
-        return s_t, s_dt, s_ray, counts, offsets, fits, total
+        return compact_samples(t, dt, emit, n_rays,
+                               self.tcfg.target_batch_size)
 
     # ------------------------------------------------------------------
     # one training step
@@ -345,7 +273,7 @@ class NerfTrainer:
 
         if full_sweep:
             n_u = occ.GRID_VOLUME * (self.max_cascade + 1)
-            n_n = 0
+            n_n = 1
         else:
             n_u = occ.GRID_VOLUME // 4
             n_n = occ.GRID_VOLUME // 4

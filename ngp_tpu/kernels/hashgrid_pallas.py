@@ -1,0 +1,245 @@
+"""Pallas TPU kernels for the Morton-tiled blocked grid encoding.
+
+Lookup structure (see blocked_grid.py): every (sample, level) needs exactly
+ONE 128-lane table row. The kernel brings rows to samples with a one-hot
+matmul on the MXU (bf16 one-hot · bf16 table → f32 rows — exact selection),
+then picks the 2^D·F corner values with a single in-row lane shuffle
+(tpu.dynamic_gather along the minor axis — the one vector-rate gather the
+hardware exposes), and does the trilinear weighting on the VPU.
+
+Backward reuses the same one-hot: dTable = one-hotᵀ · dRows is again an MXU
+matmul, so the scatter-add that cripples XLA's TPU backend never appears.
+
+Grid: (level, sample-tile); the table-gradient output block has a
+constant-per-level index map and is accumulated across sample tiles.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ngp_tpu.kernels.blocked_grid import (LANES, BlockedGridMeta, _block_geom,
+                                          lookup_geometry)
+
+DEFAULT_TILE = 512
+
+
+def _corner_masks(n_dims: int, tile: int):
+    """Per-lane decode tables for corner lanes j = c·F + f (j < C·F),
+    built in-kernel from a lane iota (Pallas kernels cannot capture
+    host constants). Returns (lane_off (T,128) i32, bits list of D
+    (T,128) f32, used (T,128) f32)."""
+    side, _ = _block_geom(n_dims)
+    C = 1 << n_dims
+    F = 2
+    j = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    c = j // F
+    f = j % F
+    off = jnp.zeros((tile, LANES), jnp.int32)
+    bits = []
+    for d in range(n_dims):
+        bit = (c >> d) & 1
+        off = off + bit * (side ** d)
+        bits.append(bit.astype(jnp.float32))
+    lane_off = off * F + f
+    used = (j < C * F).astype(jnp.float32)
+    return lane_off, bits, used
+
+
+def _weights_from_frac(frac_cols, bits, used):
+    """frac_cols: list of D (TILE, 1) fraction columns → (TILE, 128) corner
+    weights replicated per feature lane (zero on unused lanes)."""
+    w = used
+    for d, fc in enumerate(frac_cols):
+        b = bits[d]
+        w = w * (b * fc + (1.0 - b) * (1.0 - fc))
+    return w
+
+
+def _fwd_kernel(rows_ref, frac_ref, table_ref, out_ref, *, meta, tile):
+    D = meta.n_dims
+    lane_off, bits, used = _corner_masks(D, tile)
+    R = meta.rows
+
+    rows = rows_ref[0, 0, :].reshape(tile, 1)                  # (T, 1) int32
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
+    oh = (rows == iota_r).astype(jnp.bfloat16)                 # (T, R)
+    tbl = table_ref[0].astype(jnp.bfloat16)                    # (R, 128)
+    A = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)   # (T, 128)
+
+    base = rows_ref[0, 1, :].reshape(tile, 1)                  # base lane
+    idx = base + lane_off                                      # (T, 128)
+    G = jnp.take_along_axis(A, idx, axis=1)                    # corner values
+
+    fracs = [frac_ref[0, d, :].reshape(tile, 1) for d in range(D)]
+    w = _weights_from_frac(fracs, bits, used)
+    contrib = G * w                                            # (T, 128)
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % 2
+    f0 = jnp.sum(jnp.where(lane_f == 0, contrib, 0.0), axis=1)
+    f1 = jnp.sum(jnp.where(lane_f == 1, contrib, 0.0), axis=1)
+    out_ref[0, 0, :] = f0
+    out_ref[0, 1, :] = f1
+
+
+def _bwd_kernel(rows_ref, frac_ref, table_ref, g_ref,
+                dtable_ref, dfrac_ref, *, meta, tile):
+    D = meta.n_dims
+    lane_off, bits, used = _corner_masks(D, tile)
+    R = meta.rows
+
+    rows = rows_ref[0, 0, :].reshape(tile, 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
+    oh = (rows == iota_r).astype(jnp.bfloat16)
+    tbl = table_ref[0].astype(jnp.bfloat16)
+    A = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+
+    base = rows_ref[0, 1, :].reshape(tile, 1)
+    idx = base + lane_off
+    G = jnp.take_along_axis(A, idx, axis=1)
+
+    fracs = [frac_ref[0, d, :].reshape(tile, 1) for d in range(D)]
+    bits_j = bits
+    used_j = used
+    w = _weights_from_frac(fracs, bits_j, used_j)
+
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % 2
+    g0 = g_ref[0, 0, :].reshape(tile, 1)
+    g1 = g_ref[0, 1, :].reshape(tile, 1)
+    gl = jnp.where(lane_f == 0, g0, g1) * used_j               # (T, 128)
+
+    # dG = w·g at corner lanes; scatter back to row-lane positions via a
+    # 16-step static unroll (C·F ≤ 16 used lanes).
+    gv = gl * w                                                # d/dG
+    dA = jnp.zeros((tile, LANES), jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    CF = (1 << D) * 2
+    for j in range(CF):
+        tgt = idx[:, j].reshape(tile, 1)
+        val = gv[:, j].reshape(tile, 1)
+        dA = dA + jnp.where(lane_iota == tgt, val, 0.0)
+
+    # table grad: one-hotᵀ @ dA, accumulated over sample tiles
+    dT = jax.lax.dot_general(
+        oh, dA.astype(jnp.bfloat16),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                    # (R, 128)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dtable_ref[0] = jnp.zeros_like(dtable_ref[0])
+
+    dtable_ref[0] += dT
+
+    # position grads: dw/dfrac_d = ±Π_{d'≠d} w_d' (on used lanes)
+    gG = gl * G                                                # d/dw
+    for d in range(D):
+        prod = used_j
+        for dd in range(D):
+            if dd == d:
+                continue
+            b = bits_j[dd]
+            prod = prod * (b * fracs[dd] + (1.0 - b) * (1.0 - fracs[dd]))
+        sign = bits_j[d] * 2.0 - 1.0
+        dfrac_ref[0, d, :] = jnp.sum(gG * prod * sign, axis=1)
+
+
+def _pad_to(x, n, axis):
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad) if n != x.shape[axis] else x
+
+
+def _geometry(meta: BlockedGridMeta, pos: jax.Array, tile: int):
+    """XLA-side geometry: padded (rows+base_lane) and frac arrays."""
+    side, _ = _block_geom(meta.n_dims)
+    N = pos.shape[0]
+    Np = ((N + tile - 1) // tile) * tile
+    rows, local, frac = lookup_geometry(meta, pos)             # (L,N),(L,N,D),(L,N,D)
+    lane_strides = jnp.asarray([side ** d for d in range(meta.n_dims)], jnp.int32)
+    base_lane = jnp.sum(local * lane_strides, axis=-1) * meta.n_features_per_level
+    ri = jnp.stack([rows, base_lane], axis=1)                  # (L, 2, N)
+    fr = jnp.moveaxis(frac, -1, 1)                             # (L, D, N)
+    return (_pad_to(ri.astype(jnp.int32), Np, 2), _pad_to(fr, Np, 2), N, Np)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def blocked_grid_encode(table, pos, meta: BlockedGridMeta,
+                        tile: int = DEFAULT_TILE):
+    """(L,R,128) table + (N,D) positions → (N, L·F) features (Pallas)."""
+    out, _ = _encode_fwd_impl(table, pos, meta, tile)
+    return out
+
+
+def _encode_fwd_impl(table, pos, meta, tile):
+    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    ri, fr, N, Np = _geometry(meta, pos, tile)
+    n_tiles = Np // tile
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, meta=meta, tile=tile),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, 2, Np), jnp.float32),
+    )(ri, fr, table)
+    feats = out[:, :, :N]                                      # (L, 2, N)
+    return feats.transpose(2, 0, 1).reshape(N, L * 2), (table, pos)
+
+
+def _encode_fwd(table, pos, meta, tile):
+    return _encode_fwd_impl(table, pos, meta, tile)
+
+
+def _encode_bwd(meta, tile, residuals, g):
+    table, pos = residuals
+    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    ri, fr, N, Np = _geometry(meta, pos, tile)
+    n_tiles = Np // tile
+    gT = g.reshape(N, L, 2).transpose(1, 2, 0)                 # (L, 2, N)
+    gT = _pad_to(gT, Np, 2)
+
+    dtable, dfrac = pl.pallas_call(
+        functools.partial(_bwd_kernel, meta=meta, tile=tile),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
+        ],
+    )(ri, fr, table, gT)
+
+    # chain dfrac → dpos: frac = pos·scale + 0.5 - floor(...)
+    scales = jnp.asarray(meta.level_scales, jnp.float32)
+    dpos = jnp.einsum("ldn,l->nd", dfrac[:, :, :N], scales)
+    return dtable, dpos.astype(pos.dtype)
+
+
+blocked_grid_encode.defvjp(_encode_fwd, _encode_bwd)

@@ -1,0 +1,141 @@
+"""Snapshot save/load (msgpack).
+
+Mirrors the reference's snapshot shape (ref: Testbed::save_snapshot /
+load_snapshot, src/testbed.cu:3008-3106): one msgpack document holding the
+full network-config JSON plus a ``snapshot`` section with weights, the
+fp16-compressed density grid, dataset metadata and training counters.
+
+Differences, by design:
+- Model parameters are stored as a named pytree (component → array with
+  dtype/shape) instead of tcnn's single flat ``params_binary`` buffer —
+  the TPU-native parameter layout (blocked grid) is not byte-compatible
+  with tiny-cuda-nn's. A converter for importing reference msgpacks is
+  tracked separately (``import_reference_snapshot``).
+- Arrays are saved little-endian with explicit dtype + shape.
+
+Schema (top level):
+  {**network_config,
+   "snapshot": {
+     "version": 2,                  # matches SNAPSHOT_FORMAT_VERSION
+     "ngp_tpu_params": {...},       # pytree of arrays (train params)
+     "ngp_tpu_ema_params": {...},   # EMA copy used for inference
+     "density_grid_binary": bytes,  # fp16, Morton order (ref-compatible)
+     "density_grid_size": 128,
+     "max_cascade": int,
+     "training_step": int,
+     "loss": float,
+     "aabb": {"min": [...], "max": [...]},
+     "bounding_radius": float,
+     "nerf": {"aabb_scale": int, "rgb": {"rays_per_batch": int},
+               "dataset": {...camera metadata...}},
+  }}
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import msgpack
+import numpy as np
+
+SNAPSHOT_FORMAT_VERSION = 2
+
+
+def _pack_array(a) -> dict:
+    a = np.asarray(a)
+    return {"__ndarray__": True, "dtype": str(a.dtype),
+            "shape": list(a.shape), "data": a.tobytes()}
+
+
+def _unpack_array(d: dict) -> np.ndarray:
+    return np.frombuffer(d["data"], dtype=np.dtype(d["dtype"])).reshape(
+        d["shape"]).copy()
+
+
+def _pack_tree(tree) -> Any:
+    if isinstance(tree, dict):
+        return {k: _pack_tree(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return {"__tuple__": True,
+                "items": [_pack_tree(v) for v in tree]}
+    if tree is None or isinstance(tree, (int, float, str, bool, bytes)):
+        return tree
+    return _pack_array(tree)
+
+
+def _unpack_tree(obj):
+    if isinstance(obj, dict):
+        if obj.get("__ndarray__"):
+            return _unpack_array(obj)
+        if obj.get("__tuple__"):
+            return tuple(_unpack_tree(v) for v in obj["items"])
+        return {k: _unpack_tree(v) for k, v in obj.items()}
+    return obj
+
+
+def save_snapshot(path, network_config: dict, params, ema_params,
+                  density_grid: Optional[np.ndarray] = None,
+                  max_cascade: int = 0, training_step: int = 0,
+                  loss: float = 0.0, aabb_scale: int = 1,
+                  aabb_min=None, aabb_max=None,
+                  rays_per_batch: int = 4096,
+                  dataset_meta: Optional[dict] = None,
+                  extra: Optional[dict] = None) -> None:
+    """Write a snapshot msgpack (ref schema: src/testbed.cu:3008-3042)."""
+    snap = {
+        "version": SNAPSHOT_FORMAT_VERSION,
+        "ngp_tpu_params": _pack_tree(params),
+        "ngp_tpu_ema_params": _pack_tree(ema_params),
+        "density_grid_size": 128,
+        "max_cascade": int(max_cascade),
+        "training_step": int(training_step),
+        "loss": float(loss),
+        "bounding_radius": float(aabb_scale) * (3.0 ** 0.5) / 2.0,
+        "nerf": {
+            "aabb_scale": int(aabb_scale),
+            "rgb": {"rays_per_batch": int(rays_per_batch)},
+            "dataset": _pack_tree(dataset_meta or {}),
+        },
+    }
+    if density_grid is not None:
+        snap["density_grid_binary"] = np.asarray(
+            density_grid, np.float16).tobytes()
+    if aabb_min is not None:
+        snap["aabb"] = {"min": [float(x) for x in np.atleast_1d(aabb_min)],
+                        "max": [float(x) for x in np.atleast_1d(aabb_max)]}
+    if extra:
+        snap.update(_pack_tree(extra))
+    doc = dict(network_config)
+    doc["snapshot"] = snap
+    Path(path).write_bytes(msgpack.packb(doc, use_bin_type=True))
+
+
+def load_snapshot(path) -> dict:
+    """Read a snapshot; returns the full document with arrays decoded.
+    Rejects incompatible versions like the reference (src/testbed.cu:3052)."""
+    doc = msgpack.unpackb(Path(path).read_bytes(), raw=False,
+                          strict_map_key=False)
+    snap = doc.get("snapshot")
+    if snap is None:
+        raise ValueError(f"{path}: not a snapshot msgpack")
+    version = snap.get("version", 0)
+    if "ngp_tpu_params" in snap:
+        snap["ngp_tpu_params"] = _unpack_tree(snap["ngp_tpu_params"])
+        snap["ngp_tpu_ema_params"] = _unpack_tree(snap["ngp_tpu_ema_params"])
+    elif version < 2:
+        raise ValueError(f"snapshot version {version} too old")
+    if "density_grid_binary" in snap:
+        snap["density_grid"] = np.frombuffer(
+            snap["density_grid_binary"], np.float16).astype(np.float32)
+    if "nerf" in snap and "dataset" in snap["nerf"]:
+        snap["nerf"]["dataset"] = _unpack_tree(snap["nerf"]["dataset"])
+    return doc
+
+
+def load_msgpack_config(path) -> dict:
+    """Network config embedded in a snapshot msgpack (ref:
+    load_network_config accepting .msgpack, src/testbed.cu:120-146)."""
+    doc = msgpack.unpackb(Path(path).read_bytes(), raw=False,
+                          strict_map_key=False)
+    doc.pop("snapshot", None)
+    return doc

@@ -164,14 +164,55 @@ class GridEncoding:
         return hashgrid_encode_with_max_level(params, x, self.meta, max_level)
 
 
+class BlockedGridEncoding:
+    """TPU-native Morton-tiled blocked grid (see kernels/blocked_grid.py).
+    Uses the Pallas kernel on TPU and the jnp reference elsewhere."""
+
+    def __init__(self, meta):
+        self.meta = meta
+        self.n_output_dims = meta.n_output_dims
+
+    def init_params(self, key):
+        return self.meta.init_params(key)
+
+    def apply(self, params, x, max_level=None, **_):
+        import jax
+
+        from ngp_tpu.kernels.blocked_grid import encode_reference
+        from ngp_tpu.kernels.hashgrid_pallas import blocked_grid_encode
+
+        platform = jax.devices()[0].platform
+        if platform in ("tpu", "axon"):
+            out = blocked_grid_encode(params, x, self.meta)
+        else:
+            out = encode_reference(params, x, self.meta)
+        if max_level is None:
+            return out
+        L, F = self.meta.n_levels, self.meta.n_features_per_level
+        level_ids = jnp.arange(L * F) // F
+        ml = jnp.asarray(max_level)
+        thresh = ml * L
+        mask = ((level_ids < thresh) if ml.ndim == 0
+                else (level_ids[None, :] < thresh[:, None]))
+        return out * mask.astype(out.dtype)
+
+
 def create_encoding(n_dims: int, cfg: dict):
     """Factory mirroring tcnn::create_encoding (by ``otype``)."""
     otype = cfg.get("otype", "Identity").lower()
     if "grid" in otype:
-        # HashGrid / DenseGrid / TiledGrid. Dense is expressed by a hashmap
-        # large enough to hold every level densely.
+        # HashGrid / DenseGrid / TiledGrid / BlockedGrid. HashGrid maps to
+        # the TPU-native blocked grid by default (NGP_TPU_GRID_IMPL=tcnn
+        # forces the tcnn-layout gather implementation instead).
+        import os
         c = dict(cfg)
         c.setdefault("n_pos_dims", n_dims)
+        impl = os.environ.get("NGP_TPU_GRID_IMPL", "blocked").lower()
+        if otype.startswith("blocked") or (impl == "blocked"
+                                           and not otype.startswith("dense")
+                                           and c["n_pos_dims"] in (2, 3)):
+            from ngp_tpu.kernels.blocked_grid import BlockedGridMeta
+            return BlockedGridEncoding(BlockedGridMeta.from_hashgrid_config(c))
         if otype.startswith("dense"):
             c["log2_hashmap_size"] = 40  # effectively infinite → all dense
         meta = HashGridMeta.from_config(c)

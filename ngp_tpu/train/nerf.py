@@ -330,3 +330,36 @@ class NerfTrainer:
         p = inference_params(self.params, self.opt_state, self.opt_cfg)
         warped = (np.asarray(pos) - float(self.aabb_min)) / float(self.aabb_size)
         return np.asarray(self._density_infer(p, jnp.asarray(warped)))
+
+    # snapshot I/O ------------------------------------------------------
+
+    def save_snapshot(self, path, network_config: dict):
+        """ref: Testbed::save_snapshot (src/testbed.cu:3008-3042)."""
+        from ngp_tpu.io.snapshot import save_snapshot
+        save_snapshot(
+            path, network_config,
+            params=jax.tree.map(np.asarray, self.params),
+            ema_params=jax.tree.map(np.asarray, self.opt_state.ema_params),
+            density_grid=np.asarray(self.grid.density),
+            max_cascade=self.max_cascade,
+            training_step=self.training_step,
+            aabb_scale=self.aabb_scale,
+            aabb_min=[float(self.aabb_min)] * 3,
+            aabb_max=[float(self.aabb_min + self.aabb_size)] * 3,
+            rays_per_batch=self.tcfg.n_rays,
+        )
+
+    def load_snapshot_state(self, path):
+        """Restore params/EMA/grid from a snapshot written by this class."""
+        from ngp_tpu.io.snapshot import load_snapshot
+        doc = load_snapshot(path)
+        snap = doc["snapshot"]
+        self.params = jax.tree.map(jnp.asarray, snap["ngp_tpu_params"])
+        self.opt_state = self.opt_state._replace(
+            ema_params=jax.tree.map(jnp.asarray, snap["ngp_tpu_ema_params"]))
+        if "density_grid" in snap:
+            density = jnp.asarray(snap["density_grid"][: self.grid.density.size])
+            self.grid = occ.rebuild_bitfield(
+                self.grid._replace(density=density), self.max_cascade)
+        self.training_step = int(snap.get("training_step", 0))
+        return doc

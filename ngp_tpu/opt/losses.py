@@ -7,6 +7,7 @@ autodiff (the reference hand-derives them — same math).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ngp_tpu.common import LossType
@@ -18,8 +19,11 @@ def l2(target, pred):
 
 
 def relative_l2(target, pred):
+    # The normalizer is treated as a CONSTANT in the reference's gradient
+    # (ref: loss kernels return copysign(factor, diff) — no d/d(denominator)
+    # term). Autodiff through the denominator would reward inflating |pred|.
     d = pred - target
-    factor = 1.0 / (pred * pred + 1e-2)
+    factor = jax.lax.stop_gradient(1.0 / (pred * pred + 1e-2))
     return d * d * factor
 
 
@@ -38,12 +42,13 @@ def log_l1(target, pred):
 
 def mape(target, pred):
     d = jnp.abs(pred - target)
-    return d / (jnp.abs(pred) + 1e-2)
+    return d * jax.lax.stop_gradient(1.0 / (jnp.abs(pred) + 1e-2))
 
 
 def smape(target, pred):
     d = jnp.abs(pred - target)
-    return d / (0.5 * (jnp.abs(pred) + jnp.abs(target)) + 1e-2)
+    return d * jax.lax.stop_gradient(
+        1.0 / (0.5 * (jnp.abs(pred) + jnp.abs(target)) + 1e-2))
 
 
 def loss_fn(loss_type: LossType):

@@ -1,0 +1,131 @@
+"""SDF engine: fit signed distance(pos) to a mesh.
+
+TPU-native re-design of the reference's SDF testbed (ref:
+src/testbed_sdf.cu). Ground-truth distances come from the native host BVH
+(training-*data generation*, not the hot loop); the network train step runs
+jitted on TPU. Sample mixture matches the reference
+(generate_training_samples_sdf, src/testbed_sdf.cu:1092-1180):
+4/8 exact surface points (distance 0), 3/8 surface + logistic-ish
+perturbation, 1/8 uniform in the AABB.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngp_tpu.common import LOSS_SCALE, mse2psnr
+from ngp_tpu.config import autofill_hashgrid_config
+from ngp_tpu.data.mesh import TriangleBvh, load_mesh
+from ngp_tpu.nn.models import EncodedNetwork
+from ngp_tpu.opt.losses import create_loss
+from ngp_tpu.opt.optimizers import (AdamConfig, apply_update,
+                                    inference_params, init_state)
+
+
+class SdfTrainer:
+    """Owns mesh/BVH + model/optimizer state for an SDF fit."""
+
+    def __init__(self, mesh_path, config: dict, seed: int = 1337,
+                 batch_size: int = 1 << 18,
+                 sign_mode: int = TriangleBvh.MODE_RAYSTAB):
+        self.vertices, self.faces, self.mesh_scale, self.mesh_offset = \
+            load_mesh(mesh_path)
+        self.bvh = TriangleBvh(self.vertices, self.faces)
+        self.sign_mode = sign_mode
+
+        enc_cfg = config["encoding"]
+        if "grid" in enc_cfg.get("otype", "").lower():
+            enc_cfg = autofill_hashgrid_config(enc_cfg, n_pos_dims=3,
+                                               desired_resolution=2048.0)
+        self.model = EncodedNetwork(3, 1, enc_cfg, config["network"])
+        self.loss = create_loss(config.get("loss", {"otype": "MAPE"}))
+        self.opt_cfg = AdamConfig.from_config(config.get("optimizer", {}),
+                                              loss_scale=LOSS_SCALE)
+        self.params = self.model.init_params(jax.random.PRNGKey(seed))
+        self.state = init_state(self.params, self.opt_cfg)
+        self.rng = np.random.default_rng(seed)
+        self.batch_size = batch_size
+        self.training_step = 0
+        # perturbation stddevs relative to unit cube (ref: :1120-1132)
+        self.perturb_sigma = 1.0 / 1024.0 * 4.0
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1))
+
+    # -- data generation (host, native BVH) -----------------------------
+
+    def generate_training_batch(self):
+        """(positions (B,3), distances (B,)) with the reference's 8-way
+        mixture. Surface points get exact distance 0 — no BVH query."""
+        B = self.batch_size
+        n_surf = B // 2
+        n_pert = B * 3 // 8
+        n_unif = B - n_surf - n_pert
+        surf = self.bvh.sample_surface(n_surf, self.rng)
+        d_surf = np.zeros(n_surf, np.float32)
+        base = self.bvh.sample_surface(n_pert, self.rng)
+        pert = base + self.rng.logistic(
+            0.0, self.perturb_sigma, (n_pert, 3)).astype(np.float32)
+        pert = np.clip(pert, 0.0, 1.0)
+        unif = self.rng.random((n_unif, 3), np.float32)
+        queries = np.concatenate([pert, unif], 0)
+        d_q = self.bvh.signed_distance(queries, mode=self.sign_mode)
+        pos = np.concatenate([surf, queries], 0)
+        dist = np.concatenate([d_surf, d_q], 0)
+        perm = self.rng.permutation(B)  # shuffle (ref: train_sdf shuffle)
+        return pos[perm], dist[perm]
+
+    # -- training --------------------------------------------------------
+
+    def _train_step_impl(self, params, state, pos, target):
+        def loss_fn(p):
+            pred = self.model.apply(p, pos)[:, 0].astype(jnp.float32)
+            return jnp.mean(self.loss(target, pred)) * LOSS_SCALE
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, state = apply_update(params, grads, state, self.opt_cfg,
+                                     self.model.matrix_mask(params))
+        return params, state, loss / LOSS_SCALE
+
+    def train(self, n_steps: int) -> float:
+        loss = 0.0
+        for _ in range(n_steps):
+            pos, dist = self.generate_training_batch()
+            self.params, self.state, loss = self._train_step(
+                self.params, self.state, jnp.asarray(pos), jnp.asarray(dist))
+            self.training_step += 1
+        return float(loss)
+
+    # -- inference / eval -------------------------------------------------
+
+    @functools.cached_property
+    def _infer(self):
+        @jax.jit
+        def run(params, pos):
+            return self.model.apply(params, pos)[:, 0].astype(jnp.float32)
+        return run
+
+    def distance_at(self, pos: np.ndarray, chunk: int = 1 << 18) -> np.ndarray:
+        p = inference_params(self.params, self.state, self.opt_cfg)
+        pos = np.asarray(pos, np.float32)
+        out = np.empty(len(pos), np.float32)
+        for i in range(0, len(pos), chunk):
+            out[i:i + chunk] = np.asarray(
+                self._infer(p, jnp.asarray(pos[i:i + chunk])))
+        return out
+
+    def calculate_iou(self, n_samples: int = 1 << 21,
+                      seed: int = 0) -> float:
+        """IoU of sign agreement vs BVH ground truth over random samples
+        (ref: Testbed::calculate_iou src/testbed_sdf.cu:1269)."""
+        rng = np.random.default_rng(seed)
+        pts = rng.random((n_samples, 3), np.float32)
+        gt = self.bvh.signed_distance(pts, mode=self.sign_mode) <= 0
+        pred = self.distance_at(pts) <= 0
+        inter = np.logical_and(gt, pred).sum()
+        union = np.logical_or(gt, pred).sum()
+        return float(inter) / max(float(union), 1.0)

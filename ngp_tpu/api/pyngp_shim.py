@@ -1,0 +1,230 @@
+"""pyngp compatibility shim.
+
+Exposes the reference's python module surface (ref: src/python_api.cu:306-888)
+as a pure-Python module so scripts written against pyngp run against the
+TPU framework:
+
+    import ngp_tpu.api.pyngp_shim as ngp
+    tb = ngp.Testbed(ngp.TestbedMode.Nerf)
+
+Enums carry the reference's member spellings. The Blender entry points
+(``request_nerf_render_sync`` / ``..._async``) live on Testbed via the
+multi-NeRF render engine.
+"""
+from __future__ import annotations
+
+import enum
+import threading
+
+import numpy as np
+
+from ngp_tpu.api.testbed import Testbed as _Testbed
+from ngp_tpu.common import TestbedMode as _Mode
+
+
+class TestbedMode(enum.Enum):
+    Nerf = "nerf"
+    Sdf = "sdf"
+    Image = "image"
+    Volume = "volume"
+
+
+class RenderMode(enum.IntEnum):
+    AO = 0
+    Shade = 1
+    Normals = 2
+    Positions = 3
+    Depth = 4
+    Distortion = 5
+    Cost = 6
+    Slice = 7
+
+
+class RandomMode(enum.IntEnum):
+    Random = 0
+    Halton = 1
+    Sobol = 2
+    Stratified = 3
+
+
+class LossType(enum.IntEnum):
+    L2 = 0
+    L1 = 1
+    Mape = 2
+    Smape = 3
+    Huber = 4
+    LogL1 = 5
+    RelativeL2 = 6
+
+
+class ColorSpace(enum.IntEnum):
+    Linear = 0
+    SRGB = 1
+
+
+class TonemapCurve(enum.IntEnum):
+    Identity = 0
+    ACES = 1
+    Hable = 2
+    Reinhard = 3
+
+
+class LensMode(enum.IntEnum):
+    Perspective = 0
+    OpenCV = 1
+    FTheta = 2
+    LatLong = 3
+
+
+class CameraModel(enum.IntEnum):
+    Perspective = 0
+    SphericalQuadrilateral = 1
+    QuadrilateralHexahedron = 2
+
+
+class MaskMode(enum.IntEnum):
+    Add = 0
+    Subtract = 1
+
+
+class MaskShape(enum.IntEnum):
+    Box = 0
+    Cylinder = 1
+    Sphere = 2
+    All = 3
+
+
+class GroundTruthRenderMode(enum.IntEnum):
+    Shade = 0
+    Depth = 1
+
+
+class SDFGroundTruthMode(enum.IntEnum):
+    RaytracedMesh = 0
+    SpheretracedMesh = 1
+    SDFBricks = 2
+
+
+class NerfActivation(enum.IntEnum):
+    ReLU = 0
+    Exponential = 1
+    Logistic = 2
+    NoneActivation = 3
+
+
+class MeshSdfMode(enum.IntEnum):
+    Watertight = 0
+    Raystab = 1
+    PathEscape = 2
+
+
+class BoundingBox:
+    """Mirror of the reference's BoundingBox pybind surface."""
+
+    def __init__(self, min=(0, 0, 0), max=(1, 1, 1)):
+        self.min = np.asarray(min, np.float32)
+        self.max = np.asarray(max, np.float32)
+
+    def center(self):
+        return (self.min + self.max) / 2
+
+    def diag(self):
+        return self.max - self.min
+
+    def contains(self, p):
+        p = np.asarray(p)
+        return bool(np.all(p >= self.min) and np.all(p <= self.max))
+
+    def enlarge(self, other):
+        if isinstance(other, BoundingBox):
+            self.min = np.minimum(self.min, other.min)
+            self.max = np.maximum(self.max, other.max)
+        else:
+            self.min = np.minimum(self.min, other)
+            self.max = np.maximum(self.max, other)
+
+    def inflate(self, amount):
+        self.min -= amount
+        self.max += amount
+
+    def intersection(self, other):
+        return BoundingBox(np.maximum(self.min, other.min),
+                           np.minimum(self.max, other.max))
+
+    def intersects(self, other):
+        return bool(np.all(self.max >= other.min) and
+                    np.all(self.min <= other.max))
+
+    def relative_pos(self, p):
+        return (np.asarray(p) - self.min) / np.maximum(self.diag(), 1e-12)
+
+    def distance(self, p):
+        return float(np.sqrt(self.distance_sq(p)))
+
+    def distance_sq(self, p):
+        d = np.maximum(np.maximum(self.min - p, 0), p - self.max)
+        return float(np.dot(d, d))
+
+    def ray_intersect(self, o, d):
+        from ngp_tpu.rays.camera import ray_aabb_intersect
+        import jax.numpy as jnp
+        tmin, tmax = ray_aabb_intersect(
+            jnp.asarray(o)[None], jnp.asarray(d)[None],
+            jnp.asarray(self.min), jnp.asarray(self.max))
+        return float(tmin[0]), float(tmax[0])
+
+    def get_vertices(self):
+        out = []
+        for c in range(8):
+            out.append([self.max[k] if (c >> k) & 1 else self.min[k]
+                        for k in range(3)])
+        return np.asarray(out, np.float32)
+
+
+# re-export the render-request data model
+from ngp_tpu.render.multi_nerf import (DownsampleInfo, Mask3D,  # noqa: E402
+                                       NerfDescriptor,
+                                       RenderCameraProperties,
+                                       RenderOutputProperties, RenderRequest)
+
+
+class Testbed(_Testbed):
+    """pyngp.Testbed-shaped wrapper (mode enum spelling, render threads)."""
+
+    def __init__(self, mode=TestbedMode.Nerf, *_args):
+        if isinstance(mode, TestbedMode):
+            mode = _Mode(mode.value)
+        super().__init__(mode)
+        self._render_thread = None
+        self.m_currently_rendering = False
+
+    # Blender API (ref: python_api.cu:191-261)
+    def request_nerf_render_sync(self, request: RenderRequest):
+        from ngp_tpu.render.multi_nerf import MultiNerfRenderer
+        self.m_currently_rendering = True
+        try:
+            renderer = getattr(self, "_multi_nerf", None)
+            if renderer is None:
+                renderer = self._multi_nerf = MultiNerfRenderer()
+            return renderer.render(request)
+        finally:
+            self.m_currently_rendering = False
+
+    def request_nerf_render_async(self, request: RenderRequest, callback):
+        def work():
+            img = self.request_nerf_render_sync(request)
+            callback(img)
+        self._render_thread = threading.Thread(target=work, daemon=True)
+        self._render_thread.start()
+
+    def render_with_rolling_shutter(self, width, height, spp, linear,
+                                    transform_start, transform_end,
+                                    shutter_fraction):
+        """ref: render_with_rolling_shutter_to_cpu (python_api.cu:263)."""
+        self.set_camera_matrix(np.asarray(transform_start)[:3, :4])
+        return self.render(width, height, spp=spp, linear=linear)
+
+
+def free_temporary_memory():
+    import jax
+    jax.clear_caches()

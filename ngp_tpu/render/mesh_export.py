@@ -1,0 +1,214 @@
+"""Isosurface extraction + mesh export (NeRF density / SDF → mesh).
+
+Fills the role of the reference's marching-cubes module
+(ref: src/marching_cubes.cu: gen_vertices/gen_faces two-pass kernels,
+smoothing, OBJ/PLY export, density slices). The extractor here is
+**marching tetrahedra** (each cell → 6 tets, cases derived procedurally —
+no 256-entry tables), vectorized over z-slabs in numpy: watertight, exact
+linear interpolation along edges, slightly higher triangle count than MC.
+
+Also: 1-ring Laplacian smoothing, vertex normals, OBJ/PLY writers, and
+density→PNG slice export (ref: compute_and_save_png_slices).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+# 6-tetrahedra decomposition of the unit cube around the 0-7 main diagonal
+# (corner c at bit-coords (c&1, (c>>1)&1, (c>>2)&1))
+_CORNER_OFF = np.stack([(np.arange(8) >> 0) & 1, (np.arange(8) >> 1) & 1,
+                        (np.arange(8) >> 2) & 1], -1).astype(np.int32)
+_TETS = np.array([
+    [0, 1, 3, 7], [0, 1, 5, 7], [0, 2, 3, 7],
+    [0, 2, 6, 7], [0, 4, 5, 7], [0, 4, 6, 7]], np.int32)
+
+
+def _tet_triangles(vals, coords, thresh):
+    """vals (M, 4), coords (M, 4, 3) → triangle vertex list (K, 3, 3).
+    Case analysis by inside-count; vertices on sign-crossing edges."""
+    inside = vals < thresh                                  # (M, 4)
+    code = (inside * (1 << np.arange(4))).sum(-1)           # (M,)
+    tris = []
+
+    def edge_vertex(i, j, sel):
+        vi, vj = vals[sel, i], vals[sel, j]
+        t = (thresh - vi) / np.where(np.abs(vj - vi) < 1e-12, 1e-12, vj - vi)
+        t = np.clip(t, 0.0, 1.0)[:, None]
+        return coords[sel, i] * (1 - t) + coords[sel, j] * t
+
+    # enumerate the 14 non-trivial cases (one-inside ×4, two-inside ×6 and
+    # their complements)
+    for c in range(1, 15):
+        sel = np.nonzero(code == c)[0]
+        if len(sel) == 0:
+            continue
+        ins = [k for k in range(4) if (c >> k) & 1]
+        outs = [k for k in range(4) if not (c >> k) & 1]
+        if len(ins) == 1:
+            a = ins[0]
+            e = [edge_vertex(a, o, sel) for o in outs]
+            tris.append(np.stack([e[0], e[1], e[2]], 1))
+        elif len(ins) == 3:
+            a = outs[0]
+            e = [edge_vertex(i, a, sel) for i in ins]
+            tris.append(np.stack([e[0], e[2], e[1]], 1))
+        else:  # two inside → quad = 2 triangles
+            i0, i1 = ins
+            o0, o1 = outs
+            e00 = edge_vertex(i0, o0, sel)
+            e01 = edge_vertex(i0, o1, sel)
+            e10 = edge_vertex(i1, o0, sel)
+            e11 = edge_vertex(i1, o1, sel)
+            tris.append(np.stack([e00, e10, e11], 1))
+            tris.append(np.stack([e00, e11, e01], 1))
+    if not tris:
+        return np.zeros((0, 3, 3), np.float32)
+    return np.concatenate(tris, 0)
+
+
+def marching_tetrahedra(field: np.ndarray, threshold: float = 0.0,
+                        origin=(0, 0, 0), spacing: Optional[float] = None):
+    """field (X, Y, Z) scalar grid → (vertices (V,3), faces (F,3)).
+    Surface at field == threshold (density grids pass -field or swap sign).
+    """
+    X, Y, Z = field.shape
+    if spacing is None:
+        spacing = 1.0 / (max(X, Y, Z) - 1)
+    all_tris = []
+    for z0 in range(0, Z - 1, 32):                     # z-slab chunking
+        z1 = min(z0 + 32, Z - 1)
+        xs, ys, zs = np.meshgrid(np.arange(X - 1), np.arange(Y - 1),
+                                 np.arange(z0, z1), indexing="ij")
+        base = np.stack([xs, ys, zs], -1).reshape(-1, 3)     # (M, 3)
+        cvals = np.empty((len(base), 8), np.float32)
+        for c in range(8):
+            o = _CORNER_OFF[c]
+            cvals[:, c] = field[base[:, 0] + o[0], base[:, 1] + o[1],
+                                base[:, 2] + o[2]]
+        # skip cells with no crossing
+        active = (cvals.min(1) < threshold) & (cvals.max(1) >= threshold)
+        base, cvals = base[active], cvals[active]
+        if len(base) == 0:
+            continue
+        ccoords = (base[:, None, :] + _CORNER_OFF[None]).astype(np.float32)
+        for tet in _TETS:
+            tris = _tet_triangles(cvals[:, tet], ccoords[:, tet], threshold)
+            if len(tris):
+                all_tris.append(tris)
+    if not all_tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tris = np.concatenate(all_tris, 0) * spacing + np.asarray(origin, np.float32)
+    # weld vertices
+    flat = tris.reshape(-1, 3)
+    key = np.round(flat / (spacing * 1e-4)).astype(np.int64)
+    _, idx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    verts = flat[idx]
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    # drop degenerate faces
+    good = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & \
+        (faces[:, 0] != faces[:, 2])
+    return verts.astype(np.float32), faces[good]
+
+
+def smooth_mesh(verts: np.ndarray, faces: np.ndarray,
+                iterations: int = 1, lam: float = 0.5) -> np.ndarray:
+    """1-ring Laplacian smoothing (ref: compute_mesh_1ring + smoothing)."""
+    v = verts.copy()
+    for _ in range(iterations):
+        acc = np.zeros_like(v)
+        cnt = np.zeros(len(v), np.float32)
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            np.add.at(acc, faces[:, a], v[faces[:, b]])
+            np.add.at(acc, faces[:, b], v[faces[:, a]])
+            np.add.at(cnt, faces[:, a], 1)
+            np.add.at(cnt, faces[:, b], 1)
+        mean = acc / np.maximum(cnt, 1)[:, None]
+        v = v + lam * (mean - v)
+    return v
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    n = np.zeros_like(verts)
+    fn = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                  verts[faces[:, 2]] - verts[faces[:, 0]])
+    for k in range(3):
+        np.add.at(n, faces[:, k], fn)
+    l = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(l, 1e-12)
+
+
+def save_obj(path, verts, faces, normals: Optional[np.ndarray] = None):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write("v %f %f %f\n" % tuple(v))
+        if normals is not None:
+            for n in normals:
+                f.write("vn %f %f %f\n" % tuple(n))
+            for face in faces + 1:
+                f.write("f %d//%d %d//%d %d//%d\n" %
+                        (face[0], face[0], face[1], face[1], face[2], face[2]))
+        else:
+            for face in faces + 1:
+                f.write("f %d %d %d\n" % tuple(face))
+
+
+def save_ply(path, verts, faces, colors: Optional[np.ndarray] = None):
+    with open(path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               f"element vertex {len(verts)}",
+               "property float x", "property float y", "property float z"]
+        if colors is not None:
+            hdr += ["property uchar red", "property uchar green",
+                    "property uchar blue"]
+        hdr += [f"element face {len(faces)}",
+                "property list uchar int vertex_indices", "end_header"]
+        f.write(("\n".join(hdr) + "\n").encode())
+        if colors is not None:
+            c8 = np.clip(colors * 255 + 0.5, 0, 255).astype(np.uint8)
+            for v, c in zip(verts.astype(np.float32), c8):
+                f.write(v.tobytes() + c.tobytes())
+        else:
+            f.write(verts.astype(np.float32).tobytes())
+        cnt = np.full((len(faces), 1), 3, np.uint8)
+        body = b"".join(cnt[i].tobytes() + faces[i].astype(np.int32).tobytes()
+                        for i in range(len(faces)))
+        f.write(body)
+
+
+def density_field_on_grid(density_fn: Callable, res: int,
+                          aabb_min=0.0, aabb_size=1.0,
+                          chunk: int = 1 << 18) -> np.ndarray:
+    """Sample σ(pos) on a res³ grid (ref: get_density_on_grid)."""
+    lin = (np.arange(res, dtype=np.float32) + 0.5) / res
+    pts = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), -1).reshape(-1, 3)
+    pts = pts * aabb_size + aabb_min
+    out = np.empty(len(pts), np.float32)
+    for i in range(0, len(pts), chunk):
+        out[i:i + chunk] = np.asarray(density_fn(pts[i:i + chunk]))
+    return out.reshape(res, res, res)
+
+
+def save_density_slices(path_prefix, field: np.ndarray):
+    """Density grid → PNG slice sequence (ref: density→PNG slices)."""
+    from ngp_tpu.data.image_io import save_stbi
+    mx = max(field.max(), 1e-9)
+    for z in range(field.shape[2]):
+        img = np.clip(field[:, :, z] / mx, 0, 1)[..., None].repeat(3, -1)
+        save_stbi(f"{path_prefix}_{z:04d}.png", img, from_linear=False)
+
+
+def extract_mesh_from_density(density_fn: Callable, res: int = 256,
+                              threshold: float = 2.5, aabb_min=0.0,
+                              aabb_size=1.0, smooth_iters: int = 1):
+    """NeRF density → mesh (ref: Testbed::compute_marching_cubes_mesh,
+    thresh default 2.5 on σ)."""
+    field = density_field_on_grid(density_fn, res, aabb_min, aabb_size)
+    # inside = high density → use -field with -threshold so inside < thresh
+    verts, faces = marching_tetrahedra(-field, -threshold)
+    verts = verts * aabb_size + aabb_min
+    if smooth_iters and len(verts):
+        verts = smooth_mesh(verts, faces, smooth_iters)
+    return verts, faces

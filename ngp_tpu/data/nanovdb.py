@@ -49,7 +49,7 @@ def read_header(raw: bytes):
     off = 16
     (grid_size, file_size, name_key, voxel_count, grid_type, grid_class
      ) = struct.unpack_from("<QQQQII", raw, off)
-    off += 48
+    off += 40  # 4×u64 + 2×u32 (total metadata is 176 B, ref static_assert)
     world_bbox = np.frombuffer(raw, np.float64, 6, off).reshape(2, 3)
     off += 48
     index_bbox = np.frombuffer(raw, np.int32, 6, off).reshape(2, 3).copy()

@@ -64,6 +64,20 @@ class NerfTrainerConfig:
     density_grid_decay: float = 0.95
     n_steps_between_grid_updates: int = 16
     snap_to_pixel_centers: bool = False
+    # M9 (ref: testbed.h nerf.training flags; all default-off like the ref)
+    optimize_extrinsics: bool = False
+    optimize_exposure: bool = False
+    optimize_focal_length: bool = False
+    optimize_extra_dims: bool = False
+    extrinsic_learning_rate: float = 1e-4   # ref: testbed.cu:2344-2346
+    exposure_learning_rate: float = 1e-3
+    focal_learning_rate: float = 1e-5
+    extrinsic_l2_reg: float = 1e-4
+    exposure_l2_reg: float = 0.0
+    sample_image_proportional_to_error: bool = False
+    sample_focal_plane_proportional_to_error: bool = False
+    error_map_res: int = 32
+    n_steps_between_error_map_updates: int = 128
 
 
 class NerfTrainer:
@@ -120,6 +134,25 @@ class NerfTrainer:
             "lens_params": jnp.asarray(dataset.lens_params),
         }
 
+        # M9 state: per-image pose deltas (axis-angle + translation),
+        # exposure, focal delta, per-image latent extra dims; all trained
+        # with their own Adam (the reference runs a CPU Adam every 16
+        # steps — here it is one more jitted param group).
+        I = dataset.n_images
+        E = dataset.n_extra_learnable_dims
+        self.cam_params = {
+            "rot": jnp.zeros((I, 3)), "trans": jnp.zeros((I, 3)),
+            "exposure": jnp.zeros((I, 3)),
+            "focal_delta": jnp.zeros((2,)),
+            "extra_dims": 1e-4 * jax.random.normal(
+                jax.random.PRNGKey(seed + 1), (I, max(E, 1))),
+        }
+        self.cam_m = jax.tree.map(jnp.zeros_like, self.cam_params)
+        self.cam_v = jax.tree.map(jnp.zeros_like, self.cam_params)
+        # error map for importance sampling (ref: §2.2 error-map CDFs)
+        em = self.tcfg.error_map_res
+        self.error_map = jnp.zeros((I, em, em))
+
         self.training_step = 0
         self.loss_scalar_ema = 0.0
         self._step_fns = {}  # n_rays → jitted step
@@ -131,27 +164,77 @@ class NerfTrainer:
     # sample generation (lattice + filter + compaction)
     # ------------------------------------------------------------------
 
-    def _generate_rays(self, data, key, n_rays):
-        """Pick image/pixel per ray, build world rays + targets."""
-        k_img, k_xy, k_t = jax.random.split(key, 3)
-        img = jax.random.randint(k_img, (n_rays,), 0, self.dataset.n_images)
-        xy = jax.random.uniform(k_xy, (n_rays, 2))
+    def _sample_pixels(self, data, error_state, key, n_rays):
+        """Pick image + pixel per ray (uniform or error-CDF importance
+        sampling, ref: image_idx + nerf_random_image_pos_training)."""
+        tc = self.tcfg
+        k_img, k_xy, k_u = jax.random.split(key, 3)
+        I = self.dataset.n_images
+        if tc.sample_image_proportional_to_error:
+            cdf_img = error_state["cdf_img"]
+            u = jax.random.uniform(k_img, (n_rays,))
+            img = jnp.clip(jnp.searchsorted(cdf_img, u), 0, I - 1)
+        else:
+            img = jax.random.randint(k_img, (n_rays,), 0, I)
+        if tc.sample_focal_plane_proportional_to_error:
+            em = tc.error_map_res
+            ky, kx = jax.random.split(k_xy)
+            uy = jax.random.uniform(ky, (n_rays,))
+            ux = jax.random.uniform(kx, (n_rays,))
+            cdf_y = error_state["cdf_y"][img]            # (R, em)
+            row = jnp.clip(jax.vmap(jnp.searchsorted)(cdf_y, uy), 0, em - 1)
+            cdf_x = error_state["cdf_x"][img, row]       # (R, em)
+            col = jnp.clip(jax.vmap(jnp.searchsorted)(cdf_x, ux), 0, em - 1)
+            jy = jax.random.uniform(ky, (n_rays,))
+            jx = jax.random.uniform(kx, (n_rays,))
+            xy = jnp.stack([(col + jx) / em, (row + jy) / em], -1)
+        else:
+            xy = jax.random.uniform(k_xy, (n_rays, 2))
         res = data["resolution"][img]
-        if self.tcfg.snap_to_pixel_centers:
+        if tc.snap_to_pixel_centers:
             xy = (jnp.floor(xy * res) + 0.5) / res
-
-        o, d_raw = pixel_to_ray_train(
-            xy, data["xforms"][img], data["focal"][img],
-            data["principal"][img], res, data["lens_params"][img],
-            self.dataset.lens_is_opencv)
-        d_norm_len = jnp.linalg.norm(d_raw, axis=-1, keepdims=True)
-        d = d_raw / jnp.maximum(d_norm_len, 1e-9)
-
-        # nearest-texel premultiplied-linear target (ref: read_rgba)
         pix = jnp.clip((xy * res).astype(jnp.int32), 0,
                        res.astype(jnp.int32) - 1)
         texsamp = data["images"][img, pix[:, 1], pix[:, 0]].astype(jnp.float32)
-        return img, xy, o, d, texsamp
+        return img, xy, texsamp
+
+    @staticmethod
+    def _rodrigues(rot):
+        """Axis-angle (N,3) → rotation matrices (N,3,3), differentiable.
+        Uses a smoothed norm: d‖r‖/dr is NaN at r = 0 under autodiff, and
+        the deltas start exactly at zero."""
+        theta = jnp.sqrt(jnp.sum(rot * rot, -1, keepdims=True) + 1e-24)
+        k = rot / theta
+        K = jnp.zeros(rot.shape[:-1] + (3, 3))
+        K = K.at[..., 0, 1].set(-k[..., 2]).at[..., 0, 2].set(k[..., 1])
+        K = K.at[..., 1, 0].set(k[..., 2]).at[..., 1, 2].set(-k[..., 0])
+        K = K.at[..., 2, 0].set(-k[..., 1]).at[..., 2, 1].set(k[..., 0])
+        st = jnp.sin(theta)[..., None]
+        ct = jnp.cos(theta)[..., None]
+        eye = jnp.eye(3)
+        return eye + st * K + (1 - ct) * (K @ K)
+
+    def _build_rays(self, data, cam, img, xy):
+        """World rays from pixels, with differentiable pose/focal deltas
+        (the reference routes these gradients through hand-written kernels
+        + a host Adam, ref: compute_cam_gradient_train_nerf)."""
+        tc = self.tcfg
+        res = data["resolution"][img]
+        xf = data["xforms"][img]
+        if tc.optimize_extrinsics:
+            R = self._rodrigues(cam["rot"][img])
+            rot = jnp.einsum("nij,njk->nik", R, xf[:, :, :3])
+            tr = (xf[:, :, 3] + cam["trans"][img])[:, :, None]
+            xf = jnp.concatenate([rot, tr], axis=-1)
+        focal = data["focal"][img]
+        if tc.optimize_focal_length:
+            focal = focal * (1.0 + cam["focal_delta"])[None]
+        o, d_raw = pixel_to_ray_train(
+            xy, xf, focal, data["principal"][img], res,
+            data["lens_params"][img], self.dataset.lens_is_opencv)
+        d = d_raw / jnp.maximum(
+            jnp.linalg.norm(d_raw, axis=-1, keepdims=True), 1e-9)
+        return o, d
 
     def _march(self, bitfield, o, d, key, n_rays):
         return march_rays(bitfield, o, d, key, n_rays, self.tcfg.march_steps,
@@ -166,47 +249,67 @@ class NerfTrainer:
     # one training step
     # ------------------------------------------------------------------
 
-    def _train_step_impl(self, params, opt_state, bitfield, grid_mean, key,
+    def _train_step_impl(self, params, opt_state, cam, cam_m, cam_v,
+                         error_map, error_state, bitfield, grid_mean, key,
                          data, n_rays):
         tc = self.tcfg
         S = tc.target_batch_size
+        E = max(self.dataset.n_extra_learnable_dims, 1)
         k_ray, k_march, k_bg, key = jax.random.split(key, 4)
 
-        img, xy, o, d, texsamp = self._generate_rays(data, k_ray, n_rays)
-        t, dt, emit = self._march(bitfield, o, d, k_march, n_rays)
+        img, xy, texsamp = self._sample_pixels(data, error_state, k_ray,
+                                               n_rays)
+        o0, d0 = self._build_rays(data, cam, img, xy)
+        t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)
         # masked-away pixels (negative red sentinel) never train
         emit = emit & (texsamp[:, 0] >= 0.0)[:, None]
         s_t, s_dt, s_ray, counts, offsets, fits, total = self._compact(
             t, dt, emit, n_rays)
+        rid = jnp.clip(s_ray, 0, n_rays - 1)
 
-        sample_o = o[jnp.clip(s_ray, 0, n_rays - 1)]
-        sample_d = d[jnp.clip(s_ray, 0, n_rays - 1)]
-        s_pos = sample_o + s_t[:, None] * sample_d
-        s_pos_warp = (s_pos - self.aabb_min) / self.aabb_size
-        s_dir_warp = sample_d * 0.5 + 0.5
-
-        # target reconstruction (ref: compute_loss_kernel_train_nerf
-        # :1388-1427). Linear colorspace path, sRGB network output space.
         if tc.random_bg_color:
             bg = jax.random.uniform(k_bg, (n_rays, 3))
         else:
             bg = jnp.ones((n_rays, 3))
         bg_linear = srgb_to_linear(bg)
-        rgbtarget = texsamp[:, :3] + (1.0 - texsamp[:, 3:4]) * bg_linear
-        if not tc.train_in_linear_colors:
-            rgbtarget = linear_to_srgb(rgbtarget)
-            bg_out = linear_to_srgb(bg_linear)
-        else:
-            bg_out = bg_linear
 
         valid = s_ray < n_rays                                  # (S,)
         has_samples = (counts > 0) & fits
         n_eff = jnp.maximum(has_samples.sum(), 1)
-
         reg_on = (grid_mean < NERF_MIN_OPTICAL_THICKNESS).astype(jnp.float32)
+        train_cam = (tc.optimize_extrinsics or tc.optimize_exposure or
+                     tc.optimize_focal_length or tc.optimize_extra_dims)
 
-        def loss_of(p):
-            rgb_raw, dens_raw = self.model.apply(p, s_pos_warp, s_dir_warp)
+        def loss_of(p, cam_p):
+            # rays are re-derived from the camera params so pose/focal
+            # gradients flow by autodiff (the reference hand-derives these,
+            # ref: compute_cam_gradient_train_nerf); the march's sample
+            # times/compaction stay fixed (piecewise-constant sampling).
+            if train_cam:
+                o, d = self._build_rays(data, cam_p, img, xy)
+            else:
+                o, d = o0, d0
+            s_pos = o[rid] + s_t[:, None] * d[rid]
+            s_pos_warp = (s_pos - self.aabb_min) / self.aabb_size
+            s_dir_warp = d[rid] * 0.5 + 0.5
+            extra = None
+            if self.dataset.n_extra_learnable_dims > 0:
+                extra = cam_p["extra_dims"][img][rid]
+
+            # target reconstruction (ref: :1388-1427); per-image exposure
+            # scale 2^e like the reference (0.6931… = ln 2)
+            exposure_scale = jnp.exp2(cam_p["exposure"][img]) \
+                if tc.optimize_exposure else 1.0
+            rgbtarget = exposure_scale * texsamp[:, :3] + \
+                (1.0 - texsamp[:, 3:4]) * bg_linear
+            if not tc.train_in_linear_colors:
+                rgbtarget = linear_to_srgb(rgbtarget)
+                bg_out = linear_to_srgb(bg_linear)
+            else:
+                bg_out = bg_linear
+
+            rgb_raw, dens_raw = self.model.apply(p, s_pos_warp, s_dir_warp,
+                                                 extra=extra)
             rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
             sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32), -15., 15.))
             sdt = jnp.where(valid, sigma * s_dt, 0.0)
@@ -214,8 +317,9 @@ class NerfTrainer:
             # per-ray transmittance via segmented cumsum of σΔt
             cum = jnp.cumsum(sdt)
             excl = cum - sdt
-            seg_base = jnp.where(counts > 0, excl[jnp.clip(offsets, 0, S - 1)], 0.0)
-            T = jnp.exp(-(excl - seg_base[jnp.clip(s_ray, 0, n_rays - 1)]))
+            seg_base = jnp.where(counts > 0,
+                                 excl[jnp.clip(offsets, 0, S - 1)], 0.0)
+            T = jnp.exp(-(excl - seg_base[rid]))
             alpha = 1.0 - jnp.exp(-sdt)
             w = jnp.where(valid, T * alpha, 0.0)
 
@@ -238,19 +342,60 @@ class NerfTrainer:
             l1_pen = reg_on * (-1e-4 * jnp.minimum(dens_raw, 0.0) *
                                valid).sum()
             reg = (near_pen + l1_pen) / LOSS_SCALE
-            return (loss_rgb + reg) * LOSS_SCALE, (loss_rgb, per_c, ray_mask)
+            if tc.optimize_extrinsics:
+                reg = reg + tc.extrinsic_l2_reg * (
+                    jnp.sum(cam_p["rot"] ** 2) + jnp.sum(cam_p["trans"] ** 2))
+            per_ray_loss = per_c.mean(-1) * ray_mask
+            return (loss_rgb + reg) * LOSS_SCALE, \
+                (loss_rgb, per_ray_loss, ray_mask)
 
-        (scaled_loss, (loss_rgb, per_c, ray_mask)), grads = \
-            jax.value_and_grad(loss_of, has_aux=True)(params)
+        if train_cam:
+            (scaled_loss, aux), (grads, cam_grads) = jax.value_and_grad(
+                loss_of, argnums=(0, 1), has_aux=True)(params, cam)
+        else:
+            (scaled_loss, aux), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params, cam)
+            cam_grads = None
+        loss_rgb, per_ray_loss, ray_mask = aux
         params, opt_state = apply_update(params, grads, opt_state,
                                          self.opt_cfg, self.matrix_mask)
+
+        if cam_grads is not None:
+            # dedicated Adam for camera params (ref: AdamOptimizer /
+            # RotationAdamOptimizer, adam_optimizer.h:22,93)
+            lrs = {"rot": tc.extrinsic_learning_rate,
+                   "trans": tc.extrinsic_learning_rate,
+                   "exposure": tc.exposure_learning_rate,
+                   "focal_delta": tc.focal_learning_rate,
+                   "extra_dims": 1e-3}
+            enabled = {"rot": tc.optimize_extrinsics,
+                       "trans": tc.optimize_extrinsics,
+                       "exposure": tc.optimize_exposure,
+                       "focal_delta": tc.optimize_focal_length,
+                       "extra_dims": tc.optimize_extra_dims}
+            new_cam, new_m, new_v = {}, {}, {}
+            for k in cam:
+                g = cam_grads[k] / LOSS_SCALE
+                m = 0.9 * cam_m[k] + 0.1 * g
+                v = 0.99 * cam_v[k] + 0.01 * g * g
+                upd = lrs[k] * m / (jnp.sqrt(v) + 1e-8)
+                new_cam[k] = cam[k] - (upd if enabled[k] else 0.0)
+                new_m[k], new_v[k] = m, v
+            cam, cam_m, cam_v = new_cam, new_m, new_v
+
+        # error-map deposit (ref: :1465-1491 — bilinear; nearest here)
+        em = tc.error_map_res
+        exy = jnp.clip((xy * em).astype(jnp.int32), 0, em - 1)
+        error_map = error_map.at[img, exy[:, 1], exy[:, 0]].add(
+            per_ray_loss, mode="drop")
+
         stats = TrainStepStats(
             loss=loss_rgb / 3.0,
             measured_samples=jnp.minimum(total, S),
             measured_samples_uncompacted=emit.sum(),
             n_rays_with_samples=has_samples.sum(),
         )
-        return params, opt_state, stats, key
+        return params, opt_state, cam, cam_m, cam_v, error_map, stats, key
 
     # ------------------------------------------------------------------
     # occupancy-grid maintenance
@@ -287,27 +432,46 @@ class NerfTrainer:
     # public API
     # ------------------------------------------------------------------
 
+    def _error_state(self):
+        """Normalized CDFs from the error map (ref: construct_cdf_1d/2d
+        with the MIN_PMF=0.1 floor)."""
+        em = self.error_map + 0.1 * jnp.mean(self.error_map) + 1e-8
+        row_sums = em.sum(-1)                                    # (I, H)
+        cdf_x = jnp.cumsum(em, -1) / row_sums[..., None]
+        cdf_y = jnp.cumsum(row_sums, -1) / row_sums.sum(-1)[..., None]
+        img_w = em.sum((1, 2))
+        cdf_img = jnp.cumsum(img_w) / img_w.sum()
+        return {"cdf_x": cdf_x, "cdf_y": cdf_y, "cdf_img": cdf_img}
+
     def train(self, n_steps: int) -> float:
         tc = self.tcfg
         loss = 0.0
+        err_state = self._error_state()
         for _ in range(n_steps):
             if self.training_step % tc.n_steps_between_grid_updates == 0:
                 self.key, k = jax.random.split(self.key)
                 self.grid = self._grid_update(
                     self.params, self.grid, k,
                     full_sweep=self.training_step < 256)
+            if (tc.sample_image_proportional_to_error or
+                    tc.sample_focal_plane_proportional_to_error) and \
+                    self.training_step % tc.n_steps_between_error_map_updates == 0:
+                err_state = self._error_state()
             n_rays = self.tcfg.n_rays
             fn = self._step_fns.get(n_rays)
             if fn is None:
                 fn = jax.jit(functools.partial(self._train_step_impl,
                                                n_rays=n_rays),
-                             donate_argnums=(0, 1))
+                             donate_argnums=(0, 1, 2, 3, 4, 5))
                 self._step_fns[n_rays] = fn
-            self.params, self.opt_state, stats, self.key = fn(
-                self.params, self.opt_state, self.grid.bitfield,
+            (self.params, self.opt_state, self.cam_params, self.cam_m,
+             self.cam_v, self.error_map, stats, self.key) = fn(
+                self.params, self.opt_state, self.cam_params, self.cam_m,
+                self.cam_v, self.error_map, err_state, self.grid.bitfield,
                 self.grid.mean, self.key, self.data)
             self.training_step += 1
             loss = float(stats.loss)
+            self.last_loss = loss
             # rays/batch adaptation (ref: NerfCounters::update_after_training)
             measured = int(stats.measured_samples)
             if measured > 0:
@@ -315,6 +479,16 @@ class NerfTrainer:
                 new_rays = 1 << int(round(math.log2(max(ideal, 256))))
                 self.tcfg.n_rays = int(min(new_rays, 1 << 18))
         return loss
+
+    def get_camera_extrinsics(self, img: int):
+        """Optimized camera→world for image i (ref: export_camera_extrinsics,
+        src/testbed_nerf.cu:2557)."""
+        xf = np.asarray(self.data["xforms"][img])
+        R = np.asarray(self._rodrigues(self.cam_params["rot"][img][None]))[0]
+        out = xf.copy()
+        out[:, :3] = R @ xf[:, :3]
+        out[:, 3] = xf[:, 3] + np.asarray(self.cam_params["trans"][img])
+        return out
 
     # inference helpers -------------------------------------------------
 

@@ -76,6 +76,8 @@ class NerfTrainerConfig:
     exposure_l2_reg: float = 0.0
     sample_image_proportional_to_error: bool = False
     sample_focal_plane_proportional_to_error: bool = False
+    train_envmap: bool = False
+    optimize_distortion: bool = False
     error_map_res: int = 32
     n_steps_between_error_map_updates: int = 128
 
@@ -147,6 +149,15 @@ class NerfTrainer:
             "extra_dims": 1e-4 * jax.random.normal(
                 jax.random.PRNGKey(seed + 1), (I, max(E, 1))),
         }
+        # optional trainable buffers (ref: envmap + distortion_map configs)
+        from ngp_tpu.nn.trainable_buffer import DistortionGrid, Envmap
+        self.envmap = Envmap()
+        self.distortion = DistortionGrid(tuple(
+            config.get("distortion_map", {}).get("resolution", [32, 32])))
+        if self.tcfg.train_envmap:
+            self.cam_params["envmap"] = self.envmap.init_params(None)
+        if self.tcfg.optimize_distortion:
+            self.cam_params["distortion"] = self.distortion.init_params(None)
         self.cam_m = jax.tree.map(jnp.zeros_like, self.cam_params)
         self.cam_v = jax.tree.map(jnp.zeros_like, self.cam_params)
         # error map for importance sampling (ref: §2.2 error-map CDFs)
@@ -232,6 +243,14 @@ class NerfTrainer:
         o, d_raw = pixel_to_ray_train(
             xy, xf, focal, data["principal"][img], res,
             data["lens_params"][img], self.dataset.lens_is_opencv)
+        if tc.optimize_distortion and "distortion" in cam:
+            # learned distortion adds to the camera-space xy direction
+            # BEFORE the world rotation (ref: read_image<2> add at
+            # generate_training_samples_nerf :1188-1190) — approximate
+            # post-rotation here by rotating the 2D offset.
+            off2 = self.distortion.sample(cam["distortion"], xy)
+            off3 = jnp.concatenate([off2, jnp.zeros_like(off2[:, :1])], -1)
+            d_raw = d_raw + jnp.einsum("nij,nj->ni", xf[:, :, :3], off3)
         d = d_raw / jnp.maximum(
             jnp.linalg.norm(d_raw, axis=-1, keepdims=True), 1e-9)
         return o, d
@@ -278,7 +297,8 @@ class NerfTrainer:
         n_eff = jnp.maximum(has_samples.sum(), 1)
         reg_on = (grid_mean < NERF_MIN_OPTICAL_THICKNESS).astype(jnp.float32)
         train_cam = (tc.optimize_extrinsics or tc.optimize_exposure or
-                     tc.optimize_focal_length or tc.optimize_extra_dims)
+                     tc.optimize_focal_length or tc.optimize_extra_dims or
+                     tc.train_envmap or tc.optimize_distortion)
 
         def loss_of(p, cam_p):
             # rays are re-derived from the camera params so pose/focal
@@ -298,13 +318,18 @@ class NerfTrainer:
 
             # target reconstruction (ref: :1388-1427); per-image exposure
             # scale 2^e like the reference (0.6931… = ln 2)
+            if tc.train_envmap and "envmap" in cam_p:
+                env = self.envmap.sample(cam_p["envmap"], d)
+                bg_lin = env[:, :3] + bg_linear * (1.0 - env[:, 3:4])
+            else:
+                bg_lin = bg_linear
             exposure_scale = jnp.exp2(cam_p["exposure"][img]) \
                 if tc.optimize_exposure else 1.0
             rgbtarget = exposure_scale * texsamp[:, :3] + \
-                (1.0 - texsamp[:, 3:4]) * bg_linear
+                (1.0 - texsamp[:, 3:4]) * bg_lin
             if not tc.train_in_linear_colors:
                 rgbtarget = linear_to_srgb(rgbtarget)
-                bg_out = linear_to_srgb(bg_linear)
+                bg_out = linear_to_srgb(bg_lin)
             else:
                 bg_out = bg_linear
 
@@ -367,12 +392,15 @@ class NerfTrainer:
                    "trans": tc.extrinsic_learning_rate,
                    "exposure": tc.exposure_learning_rate,
                    "focal_delta": tc.focal_learning_rate,
-                   "extra_dims": 1e-3}
+                   "extra_dims": 1e-3,
+                   "envmap": 1e-2, "distortion": 1e-4}
             enabled = {"rot": tc.optimize_extrinsics,
                        "trans": tc.optimize_extrinsics,
                        "exposure": tc.optimize_exposure,
                        "focal_delta": tc.optimize_focal_length,
-                       "extra_dims": tc.optimize_extra_dims}
+                       "extra_dims": tc.optimize_extra_dims,
+                       "envmap": tc.train_envmap,
+                       "distortion": tc.optimize_distortion}
             new_cam, new_m, new_v = {}, {}, {}
             for k in cam:
                 g = cam_grads[k] / LOSS_SCALE

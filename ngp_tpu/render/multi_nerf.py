@@ -165,7 +165,9 @@ class NeuralRadianceField:
     """Inference-side NeRF loaded from a snapshot msgpack."""
 
     def __init__(self, snapshot_path: str):
-        from ngp_tpu.io.snapshot import load_snapshot
+        import os
+        from ngp_tpu.io.snapshot import import_reference_snapshot, \
+            load_snapshot
         from ngp_tpu.nn.models import NerfNetwork
         doc = load_snapshot(snapshot_path)
         snap = doc["snapshot"]
@@ -175,8 +177,23 @@ class NeuralRadianceField:
         config = dict(config)
         config["encoding"] = autofill_hashgrid_config(
             config["encoding"], 3, 2048.0, aabb_scale=aabb_scale)
-        self.model = NerfNetwork(config)
-        self.params = jax.tree.map(jnp.asarray, snap["ngp_tpu_ema_params"])
+        if "ngp_tpu_ema_params" in snap:
+            self.model = NerfNetwork(config)
+            self.params = jax.tree.map(jnp.asarray,
+                                       snap["ngp_tpu_ema_params"])
+        else:
+            # CUDA-reference snapshot → tcnn-layout model + imported params
+            prev = os.environ.get("NGP_TPU_GRID_IMPL")
+            os.environ["NGP_TPU_GRID_IMPL"] = "tcnn"
+            try:
+                _, params, _ = import_reference_snapshot(snapshot_path)
+                self.model = NerfNetwork(config)
+            finally:
+                if prev is None:
+                    os.environ.pop("NGP_TPU_GRID_IMPL", None)
+                else:
+                    os.environ["NGP_TPU_GRID_IMPL"] = prev
+            self.params = jax.tree.map(jnp.asarray, params)
         self.aabb_scale = aabb_scale
         self.max_cascade = int(snap.get("max_cascade", 0))
         self.aabb_min = np.float32(0.5 - aabb_scale / 2.0)

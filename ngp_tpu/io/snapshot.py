@@ -122,8 +122,10 @@ def load_snapshot(path) -> dict:
     if "ngp_tpu_params" in snap:
         snap["ngp_tpu_params"] = _unpack_tree(snap["ngp_tpu_params"])
         snap["ngp_tpu_ema_params"] = _unpack_tree(snap["ngp_tpu_ema_params"])
-    elif version < 2:
-        raise ValueError(f"snapshot version {version} too old")
+    elif "params_binary" not in snap:
+        raise ValueError(
+            f"snapshot version {version}: neither ngp_tpu_params nor a "
+            "reference params_binary payload present")
     if "density_grid_binary" in snap:
         snap["density_grid"] = np.frombuffer(
             snap["density_grid_binary"], np.float16).astype(np.float32)

@@ -96,6 +96,17 @@ class NerfTrainer:
         self.aabb_size = np.float32(aabb_scale)
         self.max_cascade = max(0, int(math.log2(aabb_scale)))
         self.cone_angle = cone_angle_for(aabb_scale)
+        # lattice coverage guard: with cone 0 (aabb_scale=1) the lattice is
+        # uniform MIN_CONE_STEPSIZE — fewer than 1024 slots cannot cross
+        # the unit box and rays silently under-sample (debugged the hard way)
+        if self.cone_angle == 0.0 and (tcfg is None or
+                                       tcfg.march_steps < 1024):
+            if tcfg is not None and tcfg.march_steps < 1024:
+                import warnings
+                warnings.warn(
+                    f"march_steps={tcfg.march_steps} covers only "
+                    f"{tcfg.march_steps * MIN_CONE_STEPSIZE:.2f} of the "
+                    "unit box with cone_angle 0; rays will terminate early")
 
         enc = autofill_hashgrid_config(config["encoding"], 3, 2048.0,
                                        aabb_scale=aabb_scale)

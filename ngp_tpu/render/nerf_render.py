@@ -64,6 +64,8 @@ class NerfRenderer:
     def _render_chunk(self):
         opts = self.opts
 
+        mode = opts.render_mode
+
         @functools.partial(jax.jit, static_argnames=("n_rays",))
         def run(params, bitfield, o, d, bg, n_rays):
             S = opts.chunk * opts.samples_per_chunk_factor // 16
@@ -79,14 +81,36 @@ class NerfRenderer:
             pos = o[rid] + s_t[:, None] * d[rid]
             pos_w = (pos - self.aabb_min) / self.aabb_size
             dir_w = d[rid] * 0.5 + 0.5
-            rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
-            rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+            if mode == RenderMode.NORMALS:
+                # input-gradient normals (ref: EncodingVis/Normals path uses
+                # the density gradient w.r.t. position)
+                def dens_of(pw):
+                    return jnp.sum(self.model.density(params, pw))
+                g = jax.grad(dens_of)(pos_w)
+                nrm = -g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+                rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
+                rgb = nrm * 0.5 + 0.5
+            else:
+                rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
+                rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+            if mode == RenderMode.POSITIONS:
+                rgb = pos_w
             sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32), -15., 15.))
             rgb_ray, opacity, w = composite_samples(
                 sigma, rgb, s_dt, s_ray, offsets, counts, n_rays)
             depth = jnp.zeros((n_rays,)).at[s_ray].add(
                 w * s_t, mode="drop")
             rgb_out = rgb_ray + (1.0 - opacity)[:, None] * bg[None, :3]
+            if mode == RenderMode.DEPTH:
+                dnorm = depth / jnp.maximum(opacity, 1e-6)
+                rgb_out = jnp.repeat(dnorm[:, None], 3, axis=1)
+            elif mode == RenderMode.AO:
+                rgb_out = jnp.repeat(opacity[:, None], 3, axis=1)
+            elif mode == RenderMode.COST:
+                # samples per ray, scaled like the ref's cost vis (/128)
+                cost = jnp.zeros((n_rays,)).at[s_ray].add(
+                    jnp.where(s_ray < n_rays, 1.0, 0.0), mode="drop")
+                rgb_out = jnp.repeat(cost[:, None] / 128.0, 3, axis=1)
             return rgb_out, opacity, depth, total
 
         return run

@@ -25,6 +25,7 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--screenshot", default="", help="render a frame to PNG")
+    p.add_argument("--batch_size", type=int, default=1 << 18)
     args = p.parse_args(argv)
 
     from ngp_tpu.api.testbed import Testbed, mode_from_scene
@@ -33,6 +34,7 @@ def main(argv=None):
     mode = TestbedMode(args.mode) if args.mode else \
         (mode_from_scene(args.scene) or TestbedMode.NERF)
     tb = Testbed(mode)
+    tb.training_batch_size = args.batch_size
     if args.network:
         tb.reload_network_from_file(args.network)
     if args.scene:

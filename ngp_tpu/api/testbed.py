@@ -285,16 +285,44 @@ class Testbed:
     # -- snapshot / camera path ----------------------------------------------
 
     def save_snapshot(self, path, include_optimizer_state: bool = False):
-        self.trainer.save_snapshot(path, self.network_config)
+        if hasattr(self.trainer, "save_snapshot"):
+            self.trainer.save_snapshot(path, self.network_config)
+            return
+        # generic trainers (image/sdf/volume): params + EMA only
+        import jax
+        from ngp_tpu.io.snapshot import save_snapshot
+        tr = self.trainer
+        state = getattr(tr, "state", None) or getattr(tr, "opt_state")
+        save_snapshot(
+            path, self.network_config,
+            params=jax.tree.map(np.asarray, tr.params),
+            ema_params=jax.tree.map(np.asarray, state.ema_params),
+            training_step=tr.training_step)
 
     def load_snapshot(self, path):
+        import jax
+        import jax.numpy as jnp
         from ngp_tpu.io.snapshot import load_snapshot
         doc = load_snapshot(path)
         self.network_config = {k: v for k, v in doc.items() if k != "snapshot"}
         if self.trainer is None and self.data_path is not None:
             self._build_trainer()
-        if self.trainer is not None:
+        if self.trainer is None:
+            return
+        if hasattr(self.trainer, "load_snapshot_state"):
             self.trainer.load_snapshot_state(path)
+            return
+        snap = doc["snapshot"]
+        tr = self.trainer
+        tr.params = jax.tree.map(jnp.asarray, snap["ngp_tpu_params"])
+        state = getattr(tr, "state", None) or getattr(tr, "opt_state")
+        new_state = state._replace(ema_params=jax.tree.map(
+            jnp.asarray, snap["ngp_tpu_ema_params"]))
+        if hasattr(tr, "state"):
+            tr.state = new_state
+        else:
+            tr.opt_state = new_state
+        tr.training_step = int(snap.get("training_step", 0))
 
     def load_camera_path(self, path):
         from ngp_tpu.io.camera_path import CameraPath

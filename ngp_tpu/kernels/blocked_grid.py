@@ -142,14 +142,17 @@ class BlockedGridMeta:
         F = int(enc.get("n_features_per_level", 2))
         log2_T = int(enc.get("log2_hashmap_size", 19))
         log2_rows = max(6, log2_T + int(math.log2(F)) - 7)
-        return cls(
-            n_dims=n_dims,
-            n_levels=int(enc.get("n_levels", 16)),
-            base_resolution=int(enc.get("base_resolution", 16)),
-            per_level_scale=float(enc.get("per_level_scale", 2.0)),
-            log2_rows=log2_rows,
-            n_features_per_level=F,
-        )
+        # never allocate more rows than the finest level can address
+        # (small scenes/images would otherwise get giant empty tables)
+        probe = cls(n_dims=n_dims,
+                    n_levels=int(enc.get("n_levels", 16)),
+                    base_resolution=int(enc.get("base_resolution", 16)),
+                    per_level_scale=float(enc.get("per_level_scale", 2.0)),
+                    log2_rows=log2_rows, n_features_per_level=F)
+        max_blocks = max(b ** n_dims for b in probe.level_blocks_per_dim)
+        log2_needed = max(6, math.ceil(math.log2(max(max_blocks, 1))))
+        return dataclasses.replace(probe,
+                                   log2_rows=min(log2_rows, log2_needed))
 
     def init_params(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:
         """(L, R, 128) table, uniform ±1e-4 like tcnn."""

@@ -38,10 +38,46 @@ class SdfTrainer:
         self.sign_mode = sign_mode
 
         enc_cfg = config["encoding"]
-        if "grid" in enc_cfg.get("otype", "").lower():
-            enc_cfg = autofill_hashgrid_config(enc_cfg, n_pos_dims=3,
-                                               desired_resolution=2048.0)
-        self.model = EncodedNetwork(3, 1, enc_cfg, config["network"])
+        if enc_cfg.get("otype", "").lower() == "takikawa":
+            # octree feature encoding (ref: takikawa_encoding.cuh; used when
+            # encoding.otype=="Takikawa", src/testbed.cu:2401-2420)
+            from ngp_tpu.nn.mlp import MLP
+            from ngp_tpu.nn.takikawa import TakikawaEncoding, TakikawaMeta
+            meta = TakikawaMeta(
+                start_depth=int(enc_cfg.get("starting_level", 3)),
+                max_depth=int(enc_cfg.get("n_levels", 8)),
+                n_features_per_level=int(enc_cfg.get("n_features_per_level", 2)))
+            surf = TriangleBvh(*load_mesh(mesh_path)[:2]).sample_surface(
+                1 << 18, np.random.default_rng(seed))
+            encoding = TakikawaEncoding(meta, surf)
+            net = MLP.from_config(encoding.n_output_dims, 1, config["network"])
+
+            class _TakModel:
+                n_input_dims, n_output_dims = 3, 1
+
+                def init_params(self, key):
+                    import jax as _j
+                    k1, k2 = _j.random.split(key)
+                    return {"encoding": encoding.init_params(k1),
+                            "net": net.init_params(k2)}
+
+                def matrix_mask(self, params):
+                    import jax as _j
+                    return {"encoding": _j.tree.map(lambda _: False,
+                                                    params["encoding"]),
+                            "net": _j.tree.map(lambda _: True,
+                                               params["net"])}
+
+                def apply(self, params, x, **kw):
+                    return net.apply(params["net"],
+                                     encoding.apply(params["encoding"], x))
+
+            self.model = _TakModel()
+        else:
+            if "grid" in enc_cfg.get("otype", "").lower():
+                enc_cfg = autofill_hashgrid_config(enc_cfg, n_pos_dims=3,
+                                                   desired_resolution=2048.0)
+            self.model = EncodedNetwork(3, 1, enc_cfg, config["network"])
         self.loss = create_loss(config.get("loss", {"otype": "MAPE"}))
         self.opt_cfg = AdamConfig.from_config(config.get("optimizer", {}),
                                               loss_scale=LOSS_SCALE)

@@ -1,0 +1,74 @@
+"""Fork flagship path end-to-end: train a tiny NeRF, save a snapshot,
+render it through the Blender RenderRequest engine (with a second
+transformed instance + masks)."""
+import numpy as np
+import pytest
+
+from synthetic import make_orbit_dataset
+from test_nerf_e2e import render_gt_sphere
+
+
+@pytest.mark.slow
+def test_render_request_roundtrip(tmp_path):
+    import jax
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.render.multi_nerf import (Mask3D, MultiNerfRenderer,
+                                           NerfDescriptor,
+                                           RenderCameraProperties,
+                                           RenderOutputProperties,
+                                           RenderRequest, DownsampleInfo)
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    res, focal = 32, 32.0
+    center = np.array([0.5, 0.5, 0.5])
+    color = np.array([0.2, 0.7, 0.3], np.float32)
+    ds = make_orbit_dataset(n_images=8, res=res, radius=1.4, focal=focal)
+    imgs = np.stack([
+        render_gt_sphere(res, ds.xforms[i], focal, center, 0.22, color,
+                         np.zeros(3)) for i in range(8)])
+    ds.images = imgs
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 6
+    cfg["encoding"]["log2_hashmap_size"] = 14
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=512, target_batch_size=1 << 13, march_steps=1024))
+    tr.train(60)
+    snap = tmp_path / "sphere.msgpack"
+    tr.save_snapshot(snap, cfg)
+
+    cam = RenderCameraProperties(
+        transform=np.vstack([ds.xforms[0], [0, 0, 0, 1]]),
+        focal_length=focal)
+    out = RenderOutputProperties(width=32, height=32, spp=1,
+                                 background_color=(0, 0, 0, 0),
+                                 flip_y=False)
+    req = RenderRequest(output=out, camera=cam,
+                        nerfs=[NerfDescriptor(snapshot_path=str(snap))])
+    r = MultiNerfRenderer(march_steps=1024, chunk=1 << 10)
+    img = r.render(req)
+    assert img.shape == (32, 32, 4)
+    # the sphere should show: center pixel opaque-ish, corner transparent
+    assert img[16, 16, 3] > 0.3, img[16, 16]
+    assert img[1, 1, 3] < 0.2, img[1, 1]
+
+    # second instance translated +x via descriptor transform + a subtract
+    # mask carving the original: center pixel should lose opacity
+    m = np.eye(4, dtype=np.float32)
+    m[0, 3] = 0.6
+    req2 = RenderRequest(
+        output=out, camera=cam,
+        nerfs=[NerfDescriptor(snapshot_path=str(snap),
+                              masks=[Mask3D(shape="sphere", mode="subtract",
+                                            radius=2.0, feather=0.05,
+                                            transform=np.eye(4, dtype=np.float32))]),
+               NerfDescriptor(snapshot_path=str(snap), transform=m)])
+    img2 = r.render(req2)
+    assert img2[16, 16, 3] < img[16, 16, 3] + 1e-3
+    # downsample preview path
+    req3 = RenderRequest(
+        output=RenderOutputProperties(width=32, height=32, spp=1,
+                                      downsample=DownsampleInfo.MakeFromMip(1),
+                                      flip_y=True),
+        camera=cam, nerfs=[NerfDescriptor(snapshot_path=str(snap))])
+    img3 = r.render(req3)
+    assert img3.shape == (16, 16, 4)

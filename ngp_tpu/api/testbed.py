@@ -64,6 +64,10 @@ class Testbed:
         self.tonemap_curve = TonemapCurve.IDENTITY
         self.render_mode = RenderMode.SHADE
         self.dynamic_res = True
+        self.dynamic_res_target_fps = 15.0
+        self.fixed_res_factor = 1.0
+        self.render_groundtruth = False
+        self.groundtruth_render_mode = 0
         self.snap_to_pixel_centers = False
         self.render_near_distance = 0.0
         self.camera_matrix = np.eye(4, dtype=np.float32)[:3]
@@ -222,6 +226,18 @@ class Testbed:
         if start_time >= 0.0 and self.camera_path is not None:
             kf = self.camera_path.eval(start_time)
             self.camera_matrix = kf.to_matrix()
+        if self.render_groundtruth and self.mode == TestbedMode.NERF:
+            # GT overlay (ref: render_frame GT path, src/testbed.cu:2856):
+            # show the training image of the closest training view
+            ds = self.nerf.training.dataset
+            d = np.linalg.norm(ds.xforms[:, :, 3] -
+                               self.camera_matrix[:, 3][None], axis=1)
+            img = ds.images[int(np.argmin(d))].astype(np.float32)
+            if img.shape[0] != height or img.shape[1] != width:
+                yi = (np.arange(height) * img.shape[0] // height)
+                xi = (np.arange(width) * img.shape[1] // width)
+                img = img[yi][:, xi]
+            return img
         if self.mode == TestbedMode.IMAGE:
             img = self.trainer.render(width, height, linear=linear)
             a = np.ones_like(img[..., :1])
@@ -264,6 +280,26 @@ class Testbed:
                 img = np.concatenate([rgb, img[..., 3:]], -1)
             return img
         raise ValueError(f"render unsupported for mode {self.mode}")
+
+    def render_dynamic(self, width: int, height: int) -> np.ndarray:
+        """Dynamic-resolution render: scale resolution to hit
+        dynamic_res_target_fps (ref: dynamic-res logic src/testbed.cu:
+        1706-1732), then upsample to the requested size."""
+        import time as _time
+        factor = self.fixed_res_factor if not self.dynamic_res else \
+            getattr(self, "_dyn_factor", 1.0)
+        w = max(int(width * factor) // 16 * 16, 32)
+        h = max(int(height * factor) // 16 * 16, 32)
+        t0 = _time.time()
+        img = self.render(w, h, spp=1)
+        dt = _time.time() - t0
+        if self.dynamic_res and dt > 0:
+            fps = 1.0 / dt
+            adj = np.sqrt(fps / self.dynamic_res_target_fps)
+            self._dyn_factor = float(np.clip(factor * adj, 1 / 16, 1.0))
+        yi = (np.arange(height) * h // height)
+        xi = (np.arange(width) * w // width)
+        return img[yi][:, xi]
 
     def screenshot(self, path, width: int = 1920, height: int = 1080,
                    spp: int = 1):

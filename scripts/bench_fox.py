@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Fox NeRF benchmark: training throughput + (optionally) time-to-PSNR on a
+held-out training view. Run on the real chip:
+
+    python scripts/bench_fox.py --n_steps 1000 [--eval_every 250]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scene", default="/root/reference/data/nerf/fox")
+    p.add_argument("--n_steps", type=int, default=1000)
+    p.add_argument("--eval_every", type=int, default=250)
+    p.add_argument("--eval_view", type=int, default=0)
+    p.add_argument("--eval_scale", type=int, default=4,
+                   help="downscale factor for the eval render")
+    p.add_argument("--grid_impl", default="blocked")
+    args = p.parse_args()
+    os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
+
+    from ngp_tpu.common import linear_to_srgb_np
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.data.nerf_loader import load_nerf
+    from ngp_tpu.opt.optimizers import inference_params
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+    from ngp_tpu.train.nerf import NerfTrainer
+
+    ds = load_nerf(args.scene)
+    cfg = load_network_config("configs/nerf/base.json")
+    tr = NerfTrainer(ds, cfg)
+    print("init done; grid impl:", args.grid_impl, flush=True)
+
+    W = int(ds.resolution[args.eval_view][0]) // args.eval_scale
+    H = int(ds.resolution[args.eval_view][1]) // args.eval_scale
+    gt = ds.images[args.eval_view].astype(np.float32)
+    yi = (np.arange(H) * gt.shape[0] // H)
+    xi = (np.arange(W) * gt.shape[1] // W)
+    gt_small = gt[yi][:, xi]
+    gt_srgb = linear_to_srgb_np(np.clip(gt_small[..., :3], 0, 1))
+    renderer = None
+
+    t0 = time.time()
+    tr.train(1)
+    print("first step (compile) %.1fs" % (time.time() - t0), flush=True)
+
+    t_train0 = time.time()
+    steps_done = 1
+    while steps_done < args.n_steps:
+        k = min(args.eval_every, args.n_steps - steps_done)
+        ts = time.time()
+        loss = tr.train(k)
+        dt = time.time() - ts
+        steps_done += k
+        print(f"step {steps_done}: loss={loss:.5f} "
+              f"{k / dt:.2f} steps/s n_rays={tr.tcfg.n_rays} "
+              f"elapsed={time.time() - t_train0:.0f}s", flush=True)
+        if renderer is None:
+            renderer = NerfRenderer.for_trainer(tr, RenderOptions(
+                width=W, height=H, background=(0, 0, 0, 0),
+                linear_out=True, chunk=1 << 15))
+        params = inference_params(tr.params, tr.opt_state, tr.opt_cfg)
+        te = time.time()
+        img = renderer.render(
+            params, tr.grid.bitfield, ds.xforms[args.eval_view], W, H,
+            focal=(ds.focal[args.eval_view][0] / args.eval_scale,
+                   ds.focal[args.eval_view][1] / args.eval_scale))
+        pred = linear_to_srgb_np(np.clip(img[..., :3], 0, 1))
+        mse = float(np.mean((pred - gt_srgb) ** 2))
+        psnr = -10 * np.log10(max(mse, 1e-10))
+        print(f"  eval view {args.eval_view} ({W}x{H}): "
+              f"PSNR={psnr:.2f} dB (render {time.time() - te:.1f}s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

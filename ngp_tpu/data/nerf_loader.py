@@ -106,7 +106,10 @@ def _find_image_path(dirpath: Path, rel: str) -> Optional[Path]:
 
 def load_nerf(paths, sharpen: float = 0.0,
               sharpness_discard_threshold: Optional[float] = None,
-              max_images: Optional[int] = None) -> NerfDataset:
+              max_images: Optional[int] = None,
+              downscale: int = 1,
+              scale: Optional[float] = None,
+              offset: Optional[np.ndarray] = None) -> NerfDataset:
     """Load and merge one or more transforms.json files.
 
     ``paths``: dataset dir, a transforms.json path, or a list of either.
@@ -138,8 +141,16 @@ def load_nerf(paths, sharpen: float = 0.0,
     aabb_scale = int(g0.get("aabb_scale", 1))
     if aabb_scale & (aabb_scale - 1) or aabb_scale > 128:
         raise ValueError(f"aabb_scale must be a power of two ≤ 128, got {aabb_scale}")
-    scale = float(g0.get("scale", NERF_SCALE))
-    offset = np.asarray(g0.get("offset", [0.0, 0.0, 0.0]), np.float32)
+    # fork default: identity mapping (Blender units pass through). Upstream
+    # instant-ngp used 0.33/(.5,.5,.5) — callers can override (e.g. for the
+    # classic fox/nerf-synthetic captures whose cameras otherwise end up
+    # far outside the AABB and the background becomes unexplainable).
+    if scale is None:
+        scale = float(g0.get("scale", NERF_SCALE))
+    if offset is None:
+        offset = np.asarray(g0.get("offset", [0.0, 0.0, 0.0]), np.float32)
+    else:
+        offset = np.asarray(offset, np.float32)
     from_mitsuba = bool(g0.get("from_mitsuba", False))
     n_extra = int(g0.get("n_extra_learnable_dims", 0))
     integer_depth_scale = float(g0.get("integer_depth_scale", 0.0))
@@ -192,6 +203,8 @@ def load_nerf(paths, sharpen: float = 0.0,
         if ipath is None:
             return None
         img = _load_image_rgba(ipath)
+        if downscale > 1:
+            img = img[::downscale, ::downscale]
         H, W = img.shape[:2]
         # alpha sidecar (ref: nerf_loader.cu:586-601)
         apath = ipath.with_name(ipath.stem + ".alpha" + ipath.suffix)
@@ -219,7 +232,9 @@ def load_nerf(paths, sharpen: float = 0.0,
         mat_end = np.asarray(fr.get("transform_matrix_end", mat), np.float32)
         xf = nerf_matrix_to_ngp(mat, scale, offset, from_mitsuba)
         xf_end = nerf_matrix_to_ngp(mat_end, scale, offset, from_mitsuba)
-        fx, fy, cx, cy, lens = intrinsics_for(cfg, fr, W, H)
+        fx, fy, cx, cy, lens = intrinsics_for(
+            cfg, fr, W * downscale, H * downscale)
+        fx, fy = fx / downscale, fy / downscale
         return (img, xf, xf_end, np.array([fx, fy], np.float32),
                 np.array([cx, cy], np.float32), np.array([W, H], np.int32),
                 lens, depth, float(fr.get("sharpness", 1000.0)), ipath)

@@ -76,15 +76,22 @@ def march_rays(bitfield, o, d, key, n_rays: int, march_steps: int,
     return t, dt, inside & occd
 
 
-def compact_samples(t, dt, emit, n_rays: int, capacity: int):
+def compact_samples(t, dt, emit, n_rays: int, capacity: int,
+                    max_per_ray: int = 0):
     """(R, K) → (S,) ray-major compaction with static capacity S.
 
     Rays whose samples don't fully fit are dropped entirely (prefix
     property — mirrors the reference's max_samples overflow behavior).
+    ``max_per_ray`` > 0 instead keeps each ray's FIRST samples
+    (front-to-back), the rendering-time behavior: a saturating ray gets
+    its near field rather than being dropped.
     Returns (t, dt, ray_id, counts, offsets, fits, total).
     """
     S = capacity
     K = t.shape[1]
+    if max_per_ray > 0:
+        within = jnp.cumsum(emit.astype(jnp.int32), axis=1) <= max_per_ray
+        emit = emit & within
     flat_emit = emit.reshape(-1)
     pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
     total = pos_in_stream[-1] + 1

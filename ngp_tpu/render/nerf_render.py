@@ -68,15 +68,18 @@ class NerfRenderer:
 
         @functools.partial(jax.jit, static_argnames=("n_rays",))
         def run(params, bitfield, o, d, bg, n_rays):
-            S = opts.chunk * opts.samples_per_chunk_factor // 16
+            per_ray = opts.samples_per_chunk_factor
+            S = opts.chunk * per_ray
             t, dt, emit = march_rays(
                 bitfield, o, d, None, n_rays, opts.march_steps,
                 self.cone_angle, self.max_cascade,
                 self.aabb_min, self.aabb_size, t_start_min=0.05)
-            # cap samples per ray to bound S (rendering quality cap;
-            # the reference caps via MARCH_ITER + transmittance)
+            # keep each ray's first `per_ray` samples (front-to-back) so a
+            # dense early-training grid degrades to a near-field render
+            # instead of dropping rays (the reference's trace loop gets the
+            # same effect from its transmittance early-out)
             s_t, s_dt, s_ray, counts, offsets, fits, total = compact_samples(
-                t, dt, emit, n_rays, S)
+                t, dt, emit, n_rays, S, max_per_ray=per_ray)
             rid = jnp.clip(s_ray, 0, n_rays - 1)
             pos = o[rid] + s_t[:, None] * d[rid]
             pos_w = (pos - self.aabb_min) / self.aabb_size

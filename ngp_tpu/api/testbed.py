@@ -89,7 +89,8 @@ class Testbed:
                 density_grid_decay=0.95, depth_supervision_lambda=0.0,
                 sample_image_proportional_to_error=False,
                 sample_focal_plane_proportional_to_error=False,
-                n_images_for_training=0, dataset=None),
+                n_images_for_training=0, dataset=None,
+                world_scale=None, world_offset=None),
             render_with_lens_distortion=False,
             render_min_transmittance=1e-4,
             cone_angle_constant=1.0 / 256.0)
@@ -146,7 +147,9 @@ class Testbed:
         elif mode == TestbedMode.NERF:
             from ngp_tpu.data.nerf_loader import load_nerf
             from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
-            ds = load_nerf(path)
+            t0 = self.nerf.training
+            ds = load_nerf(path, scale=t0.world_scale,
+                           offset=t0.world_offset)
             t = self.nerf.training
             tcfg = NerfTrainerConfig(
                 target_batch_size=self.training_batch_size,

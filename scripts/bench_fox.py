@@ -23,6 +23,10 @@ def main():
     p.add_argument("--eval_scale", type=int, default=4,
                    help="downscale factor for the eval render")
     p.add_argument("--grid_impl", default="blocked")
+    p.add_argument("--world_scale", type=float, default=0.33,
+                   help="upstream instant-ngp mapping for classic captures")
+    p.add_argument("--world_offset", type=float, nargs=3,
+                   default=[0.5, 0.5, 0.5])
     args = p.parse_args()
     os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
 
@@ -33,7 +37,8 @@ def main():
     from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
     from ngp_tpu.train.nerf import NerfTrainer
 
-    ds = load_nerf(args.scene)
+    ds = load_nerf(args.scene, scale=args.world_scale,
+                   offset=args.world_offset)
     cfg = load_network_config("configs/nerf/base.json")
     tr = NerfTrainer(ds, cfg)
     print("init done; grid impl:", args.grid_impl, flush=True)

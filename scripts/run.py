@@ -55,7 +55,12 @@ def parse_args():
     p.add_argument("--video_n_seconds", type=int, default=1)
     p.add_argument("--video_spp", type=int, default=8)
     p.add_argument("--video_output", default="video.mp4")
-    p.add_argument("--nerf_compatibility", action="store_true")
+    p.add_argument("--nerf_compatibility", action="store_true",
+                   help="upstream instant-ngp semantics: sRGB colors, cone "
+                        "angle 0, world scale 0.33/offset .5 (ref: "
+                        "run.py:155-176 + upstream loader defaults)")
+    p.add_argument("--world_scale", type=float, default=None)
+    p.add_argument("--world_offset", type=float, nargs=3, default=None)
     p.add_argument("--train", action="store_true")
     return p.parse_args()
 
@@ -68,6 +73,12 @@ def main():
 
     if args.network:
         testbed.reload_network_from_file(args.network)
+    if args.world_scale is not None or args.nerf_compatibility:
+        testbed.nerf.training.world_scale = (
+            args.world_scale if args.world_scale is not None else 0.33)
+        testbed.nerf.training.world_offset = (
+            args.world_offset if args.world_offset is not None
+            else [0.5, 0.5, 0.5])
     if args.scene:
         testbed.load_training_data(args.scene)
     if args.load_snapshot:

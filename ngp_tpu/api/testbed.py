@@ -263,12 +263,16 @@ class Testbed:
                                                     RenderOptions)
             if self._renderer is None:
                 fx = getattr(self, "_view_focal", [height, height])[0]
+                ds = self.nerf.training.dataset
+                lens = tuple(ds.lens_params[0]) if (
+                    ds is not None and self.nerf.render_with_lens_distortion
+                    and ds.lens_is_opencv) else (0.0, 0.0, 0.0, 0.0)
                 self._renderer = NerfRenderer.for_trainer(
                     self.trainer,
                     RenderOptions(width=width, height=height,
                                   fov_axis_focal=fx,
                                   background=tuple(self.background_color),
-                                  linear_out=True,
+                                  linear_out=True, lens_params=lens,
                                   min_transmittance=self.nerf.render_min_transmittance))
             p = inference_params(self.trainer.params, self.trainer.opt_state,
                                  self.trainer.opt_cfg)

@@ -33,6 +33,7 @@ class RenderOptions:
     principal: tuple = (0.5, 0.5)
     spp: int = 1
     render_mode: RenderMode = RenderMode.SHADE
+    lens_params: tuple = (0.0, 0.0, 0.0, 0.0)   # OpenCV k1 k2 p1 p2
     background: tuple = (0.0, 0.0, 0.0, 0.0)
     linear_out: bool = True              # return linear RGB (like run.py eval)
     min_transmittance: float = 1e-4
@@ -148,8 +149,19 @@ class NerfRenderer:
             u = (xs.reshape(-1) + off if np.isscalar(off) else
                  xs.reshape(-1) + off[0]) / W
             v = (ys.reshape(-1) + (off if np.isscalar(off) else off[1])) / H
-            dirs = np.stack([(u - cx) * W / fx, (v - cy) * H / fy,
-                             np.ones_like(u)], -1).astype(np.float32)
+            dx = (u - cx) * W / fx
+            dy = (v - cy) * H / fy
+            if any(abs(p) > 0 for p in opts.lens_params):
+                # iterative OpenCV undistortion, matching training rays
+                # (ref: render path honors lens when
+                # render_with_lens_distortion is set)
+                from ngp_tpu.rays.camera import iterative_opencv_undistort
+                import jax.numpy as _jnp
+                k1, k2, p1, p2 = opts.lens_params
+                ddx, ddy = iterative_opencv_undistort(
+                    _jnp.asarray(dx), _jnp.asarray(dy), k1, k2, p1, p2)
+                dx, dy = np.asarray(ddx), np.asarray(ddy)
+            dirs = np.stack([dx, dy, np.ones_like(u)], -1).astype(np.float32)
             frame = np.zeros((H * W, 4), np.float32)
             bg = jnp.asarray(opts.background, jnp.float32)
             for i in range(0, H * W, opts.chunk):

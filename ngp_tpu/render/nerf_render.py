@@ -39,7 +39,8 @@ class RenderOptions:
     min_transmittance: float = 1e-4
     chunk: int = 1 << 16
     march_steps: int = 1024
-    samples_per_chunk_factor: int = 48   # capacity = chunk · factor
+    samples_per_chunk_factor: int = 48   # per-ray sample cap per segment
+    march_segments: int = 4              # early-out granularity
 
 
 class NerfRenderer:
@@ -75,47 +76,65 @@ class NerfRenderer:
                 bitfield, o, d, None, n_rays, opts.march_steps,
                 self.cone_angle, self.max_cascade,
                 self.aabb_min, self.aabb_size, t_start_min=0.05)
-            # keep each ray's first `per_ray` samples (front-to-back) so a
-            # dense early-training grid degrades to a near-field render
-            # instead of dropping rays (the reference's trace loop gets the
-            # same effect from its transmittance early-out)
-            s_t, s_dt, s_ray, counts, offsets, fits, total = compact_samples(
-                t, dt, emit, n_rays, S, max_per_ray=per_ray)
-            rid = jnp.clip(s_ray, 0, n_rays - 1)
-            pos = o[rid] + s_t[:, None] * d[rid]
-            pos_w = (pos - self.aabb_min) / self.aabb_size
-            dir_w = d[rid] * 0.5 + 0.5
-            if mode == RenderMode.NORMALS:
-                # input-gradient normals (ref: EncodingVis/Normals path uses
-                # the density gradient w.r.t. position)
-                def dens_of(pw):
-                    return jnp.sum(self.model.density(params, pw))
-                g = jax.grad(dens_of)(pos_w)
-                nrm = -g / (jnp.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
-                rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
-                rgb = nrm * 0.5 + 0.5
-            else:
-                rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
-                rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
-            if mode == RenderMode.POSITIONS:
-                rgb = pos_w
-            sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32), -15., 15.))
-            rgb_ray, opacity, w = composite_samples(
-                sigma, rgb, s_dt, s_ray, offsets, counts, n_rays)
-            depth = jnp.zeros((n_rays,)).at[s_ray].add(
-                w * s_t, mode="drop")
-            rgb_out = rgb_ray + (1.0 - opacity)[:, None] * bg[None, :3]
+
+            # Segmented front-to-back evaluation with transmittance
+            # early-out: saturated rays stop consuming network evals in
+            # later segments (the reference gets this from its per-8-step
+            # trace loop + min_transmittance cutoff).
+            nseg = max(opts.march_segments, 1)
+            seg_len = opts.march_steps // nseg
+            rgb_acc = jnp.zeros((n_rays, 3))
+            depth_acc = jnp.zeros((n_rays,))
+            cost_acc = jnp.zeros((n_rays,))
+            logT = jnp.zeros((n_rays,))
+            total = jnp.zeros((), jnp.int32)
+            for si in range(nseg):
+                sl = slice(si * seg_len, (si + 1) * seg_len)
+                alive = jnp.exp(-logT) > opts.min_transmittance
+                emit_s = emit[:, sl] & alive[:, None]
+                s_t, s_dt, s_ray, counts, offsets, fits, tot = \
+                    compact_samples(t[:, sl], dt[:, sl], emit_s, n_rays,
+                                    S, max_per_ray=per_ray)
+                total = total + tot
+                rid = jnp.clip(s_ray, 0, n_rays - 1)
+                pos = o[rid] + s_t[:, None] * d[rid]
+                pos_w = (pos - self.aabb_min) / self.aabb_size
+                dir_w = d[rid] * 0.5 + 0.5
+                if mode == RenderMode.NORMALS:
+                    # input-gradient normals (density gradient w.r.t. pos)
+                    def dens_of(pw):
+                        return jnp.sum(self.model.density(params, pw))
+                    g = jax.grad(dens_of)(pos_w)
+                    nrm = -g / (jnp.linalg.norm(g, axis=-1,
+                                                keepdims=True) + 1e-9)
+                    _, dens_raw = self.model.apply(params, pos_w, dir_w)
+                    rgb = nrm * 0.5 + 0.5
+                else:
+                    rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
+                    rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+                if mode == RenderMode.POSITIONS:
+                    rgb = pos_w
+                sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
+                                         -15., 15.))
+                rgb_seg, opac_seg, w = composite_samples(
+                    sigma, rgb, s_dt, s_ray, offsets, counts, n_rays)
+                T_in = jnp.exp(-logT)
+                rgb_acc = rgb_acc + T_in[:, None] * rgb_seg
+                depth_acc = depth_acc + T_in * jnp.zeros(
+                    (n_rays,)).at[s_ray].add(w * s_t, mode="drop")
+                cost_acc = cost_acc + counts.astype(jnp.float32)
+                logT = logT - jnp.log(jnp.maximum(1.0 - opac_seg, 1e-10))
+
+            opacity = 1.0 - jnp.exp(-logT)
+            rgb_out = rgb_acc + (1.0 - opacity)[:, None] * bg[None, :3]
             if mode == RenderMode.DEPTH:
-                dnorm = depth / jnp.maximum(opacity, 1e-6)
-                rgb_out = jnp.repeat(dnorm[:, None], 3, axis=1)
+                rgb_out = jnp.repeat(
+                    (depth_acc / jnp.maximum(opacity, 1e-6))[:, None], 3, 1)
             elif mode == RenderMode.AO:
                 rgb_out = jnp.repeat(opacity[:, None], 3, axis=1)
             elif mode == RenderMode.COST:
-                # samples per ray, scaled like the ref's cost vis (/128)
-                cost = jnp.zeros((n_rays,)).at[s_ray].add(
-                    jnp.where(s_ray < n_rays, 1.0, 0.0), mode="drop")
-                rgb_out = jnp.repeat(cost[:, None] / 128.0, 3, axis=1)
-            return rgb_out, opacity, depth, total
+                rgb_out = jnp.repeat(cost_acc[:, None] / 128.0, 3, axis=1)
+            return rgb_out, opacity, depth_acc, total
 
         return run
 

@@ -151,6 +151,8 @@ class NerfRenderer:
         opts = self.opts
         W = width or opts.width
         H = height or opts.height
+        # don't pad tiny frames up to a huge chunk (CPU/eval cost)
+        eff_chunk = min(opts.chunk, max(((W * H + 255) // 256) * 256, 256))
         fx = (focal or (opts.fov_axis_focal,
                         opts.focal_y or opts.fov_axis_focal))[0]
         fy = (focal or (opts.fov_axis_focal,
@@ -183,18 +185,18 @@ class NerfRenderer:
             dirs = np.stack([dx, dy, np.ones_like(u)], -1).astype(np.float32)
             frame = np.zeros((H * W, 4), np.float32)
             bg = jnp.asarray(opts.background, jnp.float32)
-            for i in range(0, H * W, opts.chunk):
-                sl = slice(i, min(i + opts.chunk, H * W))
+            for i in range(0, H * W, eff_chunk):
+                sl = slice(i, min(i + eff_chunk, H * W))
                 n = sl.stop - sl.start
-                pad = opts.chunk - n
+                pad = eff_chunk - n
                 dchunk = np.pad(dirs[sl], ((0, pad), (0, 0)))
                 d_world = dchunk @ np.asarray(camera_matrix[:, :3]).T
                 d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True) + 1e-9
                 o = np.broadcast_to(np.asarray(camera_matrix[:, 3]),
-                                    (opts.chunk, 3))
+                                    (eff_chunk, 3))
                 rgb, opacity, depth, _ = self._render_chunk(
                     params, bitfield, jnp.asarray(o), jnp.asarray(d_world),
-                    bg, opts.chunk)
+                    bg, eff_chunk)
                 out = np.concatenate([np.asarray(rgb),
                                       np.asarray(opacity)[:, None]], -1)
                 frame[sl] = out[:n]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -70,6 +71,8 @@ def main():
     mode = TestbedMode(args.mode) if args.mode else \
         (mode_from_scene(args.scene) or TestbedMode.NERF)
     testbed = Testbed(mode)
+    if os.environ.get("NGP_TPU_TESTBED_BATCH"):
+        testbed.training_batch_size = int(os.environ["NGP_TPU_TESTBED_BATCH"])
 
     if args.network:
         testbed.reload_network_from_file(args.network)

@@ -1,0 +1,68 @@
+"""scripts/run.py end-to-end: build a tiny NeRF dataset on disk
+(transforms.json + PNGs from the analytic sphere), then run train →
+snapshot → held-out eval → mesh export through the actual CLI entry."""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from synthetic import make_orbit_dataset
+from test_nerf_e2e import render_gt_sphere
+
+
+def make_dataset_dir(tmp_path, n_train=10, n_test=2, res=40, focal=40.0):
+    from ngp_tpu.data.image_io import save_stbi
+    from ngp_tpu.data.nerf_loader import ngp_matrix_to_nerf
+    center = np.array([0.5, 0.5, 0.5])
+    color = np.array([0.75, 0.35, 0.2], np.float32)
+    n = n_train + n_test
+    ds = make_orbit_dataset(n_images=n, res=res, radius=1.3, focal=focal)
+    (tmp_path / "images").mkdir()
+    frames_tr, frames_te = [], []
+    for i in range(n):
+        img = render_gt_sphere(res, ds.xforms[i], focal, center, 0.25,
+                               color, bg=np.zeros(3))
+        name = f"images/{i:03d}.png"
+        save_stbi(tmp_path / name, img, from_linear=True)
+        nerf_m = ngp_matrix_to_nerf(ds.xforms[i], 1.0, np.zeros(3))
+        fr = {"file_path": name,
+              "transform_matrix": np.vstack([nerf_m, [0, 0, 0, 1]]).tolist()}
+        (frames_tr if i < n_train else frames_te).append(fr)
+    base = {"fl_x": focal, "fl_y": focal, "cx": res / 2, "cy": res / 2,
+            "w": res, "h": res, "aabb_scale": 1}
+    (tmp_path / "transforms.json").write_text(
+        json.dumps({**base, "frames": frames_tr}))
+    (tmp_path / "transforms_test.json").write_text(
+        json.dumps({**base, "frames": frames_te}))
+    return tmp_path
+
+
+@pytest.mark.slow
+def test_runpy_full_workflow(tmp_path):
+    root = Path(__file__).resolve().parent.parent
+    ds_dir = make_dataset_dir(tmp_path)
+    out = subprocess.run(
+        [sys.executable, str(root / "scripts/run.py"),
+         "--scene", str(ds_dir / "transforms.json"),
+         "--n_steps", "120",
+         "--save_snapshot", str(tmp_path / "snap.msgpack"),
+         "--test_transforms", str(ds_dir / "transforms_test.json"),
+         "--save_mesh", str(tmp_path / "mesh.obj"),
+         "--marching_cubes_res", "64"],
+        capture_output=True, text=True, timeout=1500,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root",
+             "PYTHONPATH": str(root),
+             "NGP_TPU_TESTBED_BATCH": "8192"},
+        cwd=root)
+    print(out.stdout[-3000:])
+    print(out.stderr[-2000:])
+    assert out.returncode == 0
+    assert (tmp_path / "snap.msgpack").exists()
+    assert (tmp_path / "mesh.obj").stat().st_size > 1000
+    assert "PSNR=" in out.stdout
+    psnr = float(out.stdout.split("PSNR=")[-1].split()[0])
+    assert psnr > 12.0, psnr

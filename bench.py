@@ -18,7 +18,7 @@ REFERENCE_SECONDS = 2.0
 TARGET_DB = 30.0
 
 CHILD = r"""
-import json, time
+import json, os, time
 import numpy as np
 from ngp_tpu.config import load_network_config
 from ngp_tpu.data.image_io import load_exr
@@ -26,8 +26,20 @@ from ngp_tpu.train.image import ImageTrainer
 
 img = load_exr("/root/reference/data/image/albert.exr")
 cfg = load_network_config("configs/image/base.json")
-tr = ImageTrainer(img, cfg, batch_size=1 << 18)
-tr.train(1)  # compile outside the timed region
+
+def build(impl):
+    os.environ["NGP_TPU_GRID_IMPL"] = impl
+    t = ImageTrainer(img, cfg, batch_size=1 << 18)
+    t.train(1)  # compile outside the timed region
+    return t
+
+try:
+    tr = build("blocked")   # Pallas kernel path
+except Exception as e:
+    import sys
+    print("blocked-grid path failed (%s); falling back to tcnn-gather" % e,
+          file=sys.stderr)
+    tr = build("tcnn")
 
 t0 = time.time()
 elapsed = None

@@ -37,8 +37,8 @@ try:
     tr = build("blocked")   # Pallas kernel path
 except Exception as e:
     import sys
-    print("blocked-grid path failed (%s); falling back to tcnn-gather" % e,
-          file=sys.stderr)
+    print("blocked-grid path failed (%%s); falling back to tcnn-gather"
+          %% e, file=sys.stderr)
     tr = build("tcnn")
 
 t0 = time.time()

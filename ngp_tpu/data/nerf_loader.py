@@ -48,6 +48,7 @@ class NerfDataset:
     sharpness: np.ndarray         # (I,)
     paths: list
     up: np.ndarray                # (3,) up vector (NGP space)
+    rays: Optional[np.ndarray] = None    # (I, H, W, 6) o+d, NGP space
 
     @property
     def n_images(self) -> int:
@@ -220,6 +221,21 @@ def load_nerf(paths, sharpen: float = 0.0,
                 m = np.asarray(im.convert("L"), np.float32) / 255.0
             img = img.copy()
             img[..., 0] = np.where(m > 0.5, -1.0, img[..., 0])
+        # explicit per-pixel ray dumps (fork Blender workflow sidecar,
+        # ref: rays_<name>.dat handling src/nerf_loader.cu:645-666 —
+        # raw float32 Ray{o,d} per pixel; disables camera-derived rays)
+        rays = None
+        rpath = ipath.with_name("rays_" + ipath.stem + ".dat")
+        if rpath.exists():
+            raw = np.fromfile(rpath, np.float32)
+            if raw.size == H * W * 6 * (downscale ** 2):
+                rays = raw.reshape(H * downscale, W * downscale, 6)
+                rays = rays[::downscale, ::downscale].copy()
+                o = rays[..., :3] * scale + offset
+                d = rays[..., 3:]
+                # nerf→ngp axis cycle (ref: nerf_ray_to_ngp)
+                rays = np.concatenate([o[..., [1, 2, 0]],
+                                       d[..., [1, 2, 0]]], -1)
         depth = None
         if "depth_path" in fr and integer_depth_scale > 0:
             dpath = dirpath / fr["depth_path"]
@@ -237,7 +253,8 @@ def load_nerf(paths, sharpen: float = 0.0,
         fx, fy = fx / downscale, fy / downscale
         return (img, xf, xf_end, np.array([fx, fy], np.float32),
                 np.array([cx, cy], np.float32), np.array([W, H], np.int32),
-                lens, depth, float(fr.get("sharpness", 1000.0)), ipath)
+                lens, depth, float(fr.get("sharpness", 1000.0)), ipath,
+                rays)
 
     with ThreadPoolExecutor(max_workers=16) as pool:
         results = [r for r in pool.map(load_frame, frames) if r is not None]
@@ -259,6 +276,14 @@ def load_nerf(paths, sharpen: float = 0.0,
         if depths is not None and r[7] is not None:
             depths[i, :h, :w] = r[7]
 
+    rays_arr = None
+    if any(r[10] is not None for r in results):
+        rays_arr = np.zeros((len(results), Hm, Wm, 6), np.float32)
+        for i, r in enumerate(results):
+            if r[10] is not None:
+                h, w = r[10].shape[:2]
+                rays_arr[i, :h, :w] = r[10]
+
     lens = np.stack([r[6] for r in results])
     return NerfDataset(
         images=imgs,
@@ -270,6 +295,7 @@ def load_nerf(paths, sharpen: float = 0.0,
         lens_params=lens,
         lens_is_opencv=bool(np.abs(lens).sum() > 0),
         depth_images=depths,
+        rays=rays_arr,
         aabb_scale=aabb_scale,
         scale=scale,
         offset=offset,

@@ -140,6 +140,8 @@ class NerfTrainer:
         # (hundreds of MB in the serialized module).
         self.data = {
             "images": jnp.asarray(dataset.images, jnp.float16),
+            **({"rays": jnp.asarray(dataset.rays)}
+               if dataset.rays is not None else {}),
             "xforms": jnp.asarray(dataset.xforms),
             "focal": jnp.asarray(dataset.focal),
             "principal": jnp.asarray(dataset.principal),
@@ -251,9 +253,17 @@ class NerfTrainer:
         focal = data["focal"][img]
         if tc.optimize_focal_length:
             focal = focal * (1.0 + cam["focal_delta"])[None]
-        o, d_raw = pixel_to_ray_train(
-            xy, xf, focal, data["principal"][img], res,
-            data["lens_params"][img], self.dataset.lens_is_opencv)
+        if "rays" in data:
+            # explicit per-pixel rays (ref: metadata[img].rays branch in
+            # generate_training_samples_nerf :1144-1152)
+            pix = jnp.clip((xy * res).astype(jnp.int32), 0,
+                           res.astype(jnp.int32) - 1)
+            rr = data["rays"][img, pix[:, 1], pix[:, 0]]
+            o, d_raw = rr[:, :3], rr[:, 3:]
+        else:
+            o, d_raw = pixel_to_ray_train(
+                xy, xf, focal, data["principal"][img], res,
+                data["lens_params"][img], self.dataset.lens_is_opencv)
         if tc.optimize_distortion and "distortion" in cam:
             # learned distortion adds to the camera-space xy direction
             # BEFORE the world rotation (ref: read_image<2> add at

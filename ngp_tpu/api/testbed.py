@@ -108,6 +108,8 @@ class Testbed:
                                      pos=np.array([0.5, 0.5]))
 
         self._frame_ms = EmaMeter(0.5)
+        self._loss_graph = []          # ref: 256-point loss graph
+        self._loss_ema = EmaMeter(1.0)
         self._renderer = None
 
     # -- data + network --------------------------------------------------
@@ -188,7 +190,16 @@ class Testbed:
         return True
 
     def train(self, n_steps: int = 1) -> float:
-        return self.trainer.train(n_steps)
+        loss = self.trainer.train(n_steps)
+        self._loss_ema.update(loss)
+        self._loss_graph.append(loss)
+        if len(self._loss_graph) > 256:
+            self._loss_graph = self._loss_graph[-256:]
+        return loss
+
+    @property
+    def loss_graph(self):
+        return list(self._loss_graph)
 
     @property
     def loss(self) -> float:

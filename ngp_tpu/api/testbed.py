@@ -384,6 +384,140 @@ class Testbed:
 
     # -- misc parity helpers ---------------------------------------------------
 
+    # -- per-image camera + dataset mutation (pyngp parity) -----------------
+
+    def set_camera_intrinsics(self, fx: float, fy: float = 0.0,
+                              cx: float = -1.0, cy: float = -1.0,
+                              k1: float = 0.0, k2: float = 0.0,
+                              p1: float = 0.0, p2: float = 0.0,
+                              image_idx: int = -1):
+        """ref: pyngp Nerf.Training.set_camera_intrinsics."""
+        ds = self.nerf.training.dataset
+        sel = slice(None) if image_idx < 0 else slice(image_idx, image_idx + 1)
+        ds.focal[sel] = [fx, fy or fx]
+        if cx >= 0:
+            res = ds.resolution[sel].astype(np.float32)
+            ds.principal[sel] = np.stack([cx / res[:, 0], cy / res[:, 1]], -1)
+        ds.lens_params[sel] = [k1, k2, p1, p2]
+        if self.trainer is not None:
+            import jax.numpy as jnp
+            self.trainer.data["focal"] = jnp.asarray(ds.focal)
+            self.trainer.data["principal"] = jnp.asarray(ds.principal)
+            self.trainer.data["lens_params"] = jnp.asarray(ds.lens_params)
+
+    def set_camera_extrinsics(self, image_idx: int, matrix: np.ndarray,
+                              convert_to_ngp: bool = True):
+        """ref: pyngp Nerf.Training.set_camera_extrinsics."""
+        from ngp_tpu.data.nerf_loader import nerf_matrix_to_ngp
+        ds = self.nerf.training.dataset
+        m = np.asarray(matrix, np.float32)[:3, :4]
+        if convert_to_ngp:
+            m = nerf_matrix_to_ngp(m, ds.scale, ds.offset)
+        ds.xforms[image_idx] = m
+        if self.trainer is not None:
+            import jax.numpy as jnp
+            self.trainer.data["xforms"] = jnp.asarray(ds.xforms)
+
+    def get_camera_extrinsics(self, image_idx: int,
+                              convert_from_ngp: bool = True) -> np.ndarray:
+        from ngp_tpu.data.nerf_loader import ngp_matrix_to_nerf
+        if hasattr(self.trainer, "get_camera_extrinsics"):
+            m = self.trainer.get_camera_extrinsics(image_idx)
+        else:
+            m = self.nerf.training.dataset.xforms[image_idx]
+        ds = self.nerf.training.dataset
+        return ngp_matrix_to_nerf(m, ds.scale, ds.offset) \
+            if convert_from_ngp else m
+
+    def set_image(self, image_idx: int, image: np.ndarray,
+                  depth: np.ndarray = None, depth_scale: float = 1.0):
+        """Replace a training image in place (ref: pyngp set_image)."""
+        ds = self.nerf.training.dataset
+        ds.images[image_idx, : image.shape[0], : image.shape[1]] = image
+        if self.trainer is not None:
+            import jax.numpy as jnp
+            self.trainer.data["images"] = jnp.asarray(ds.images, jnp.float16)
+
+    def create_empty_nerf_dataset(self, n_images: int, aabb_scale: int = 1,
+                                  is_hdr: bool = False, width: int = 64,
+                                  height: int = 64):
+        """ref: pyngp create_empty_nerf_dataset — a dataset to be filled
+        with set_image/set_camera_* before training."""
+        from ngp_tpu.data.nerf_loader import NerfDataset
+        eye = np.tile(np.eye(4, dtype=np.float32)[:3][None], (n_images, 1, 1))
+        ds = NerfDataset(
+            images=np.zeros((n_images, height, width, 4), np.float32),
+            xforms=eye.copy(), xforms_end=eye.copy(),
+            focal=np.full((n_images, 2), float(height), np.float32),
+            principal=np.full((n_images, 2), 0.5, np.float32),
+            resolution=np.tile(np.asarray([[width, height]], np.int32),
+                               (n_images, 1)),
+            lens_params=np.zeros((n_images, 4), np.float32),
+            lens_is_opencv=False, depth_images=None,
+            aabb_scale=aabb_scale, scale=1.0,
+            offset=np.zeros(3, np.float32), n_extra_learnable_dims=0,
+            sharpness=np.ones(n_images, np.float32), paths=[],
+            up=np.asarray([0, 0, 1.0], np.float32))
+        self.mode = TestbedMode.NERF
+        self.nerf.training.dataset = ds
+        return ds
+
+    # -- mesh / slice exports ------------------------------------------------
+
+    def compute_marching_cubes_mesh(self, resolution=(256, 256, 256),
+                                    thresh: float = 2.5):
+        """ref: pyngp compute_marching_cubes_mesh → (verts, colors, normals,
+        faces)-style dict."""
+        from ngp_tpu.render.mesh_export import (extract_mesh_from_density,
+                                                vertex_normals)
+        tr = self.trainer
+        res = resolution[0] if hasattr(resolution, "__len__") else resolution
+        if self.mode == TestbedMode.SDF:
+            from ngp_tpu.render.mesh_export import marching_tetrahedra
+            lin = (np.arange(res, dtype=np.float32) + 0.5) / res
+            pts = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"),
+                           -1).reshape(-1, 3)
+            field = tr.distance_at(pts).reshape(res, res, res)
+            v, f = marching_tetrahedra(field, 0.0)
+        else:
+            v, f = extract_mesh_from_density(
+                tr.density_at, res=res, threshold=thresh,
+                aabb_min=float(tr.aabb_min), aabb_size=float(tr.aabb_size))
+        n = vertex_normals(v, f) if len(v) else np.zeros((0, 3), np.float32)
+        return {"V": v, "N": n, "C": np.abs(n), "F": f}
+
+    def compute_and_save_marching_cubes_mesh(self, filename,
+                                             resolution=(256, 256, 256),
+                                             thresh: float = 2.5):
+        from ngp_tpu.render.mesh_export import save_obj, save_ply
+        m = self.compute_marching_cubes_mesh(resolution, thresh)
+        if str(filename).endswith(".ply"):
+            save_ply(filename, m["V"], m["F"], m["C"])
+        else:
+            save_obj(filename, m["V"], m["F"], m["N"])
+
+    def compute_and_save_png_slices(self, filename_prefix, resolution=256,
+                                    thresh: float = 2.5):
+        """ref: pyngp compute_and_save_png_slices."""
+        from ngp_tpu.render.mesh_export import (density_field_on_grid,
+                                                save_density_slices)
+        tr = self.trainer
+        field = density_field_on_grid(tr.density_at, resolution,
+                                      float(tr.aabb_min), float(tr.aabb_size))
+        save_density_slices(filename_prefix, field)
+
+    def override_sdf_training_data(self, points: np.ndarray,
+                                   distances: np.ndarray):
+        """ref: pyngp override_sdf_training_data — pin the sample stream."""
+        pts = np.asarray(points, np.float32)
+        dst = np.asarray(distances, np.float32)
+        tr = self.trainer
+
+        def gen():
+            idx = tr.rng.integers(0, len(pts), tr.batch_size)
+            return pts[idx], dst[idx]
+        tr.generate_training_batch = gen
+
     def n_params(self) -> int:
         import jax
         return sum(int(np.prod(x.shape))

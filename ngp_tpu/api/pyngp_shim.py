@@ -77,9 +77,10 @@ class LensMode(enum.IntEnum):
 
 
 class CameraModel(enum.IntEnum):
+    # ref order: camera_models.cuh:27-31
     Perspective = 0
-    SphericalQuadrilateral = 1
-    QuadrilateralHexahedron = 2
+    QuadrilateralHexahedron = 1
+    SphericalQuadrilateral = 2
 
 
 class MaskMode(enum.IntEnum):
@@ -106,10 +107,11 @@ class SDFGroundTruthMode(enum.IntEnum):
 
 
 class NerfActivation(enum.IntEnum):
-    ReLU = 0
-    Exponential = 1
+    # ref order: common.h:114-118
+    NoneActivation = 0
+    ReLU = 1
     Logistic = 2
-    NoneActivation = 3
+    Exponential = 3
 
 
 class MeshSdfMode(enum.IntEnum):

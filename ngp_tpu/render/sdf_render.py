@@ -35,6 +35,13 @@ class SdfRenderOptions:
     sun_dir: tuple = (0.577, 0.577, 0.577)
     background: tuple = (1.0, 1.0, 1.0)
     surface_color: tuple = (0.75, 0.6, 0.5)
+    # shading (ref: BRDFParams + shadow rays in render_sdf)
+    shadows: bool = True
+    shadow_sharpness: float = 2048.0
+    specular: float = 0.5
+    roughness: float = 0.5
+    metallic: float = 0.0
+    ambient: tuple = (0.15, 0.17, 0.2)
 
 
 class SdfRenderer:
@@ -93,10 +100,44 @@ class SdfRenderer:
 
             sun = jnp.asarray(opts.sun_dir)
             sun = sun / jnp.linalg.norm(sun)
-            lam = jnp.clip(jnp.sum(n * sun[None], -1), 0.0, 1.0) * 0.7 + 0.3
-            col = jnp.asarray(opts.surface_color)[None] * lam[:, None]
+
+            # soft shadows: march a secondary ray toward the sun tracking
+            # the minimum cone ratio (ref: shadow rays + shadow_sharpness)
+            if opts.shadows:
+                def shadow_body(state):
+                    st, smin, it = state
+                    sp = p + st[:, None] * sun[None]
+                    sd = dist(sp)
+                    smin = jnp.minimum(
+                        smin, jnp.clip(opts.shadow_sharpness * sd /
+                                       jnp.maximum(st, 1e-4), 0.0, 1.0))
+                    return st + jnp.maximum(jnp.abs(sd), 1e-3), smin, it + 1
+
+                def shadow_cond(state):
+                    return state[2] < 32
+
+                _, shadow, _ = jax.lax.while_loop(
+                    shadow_cond, shadow_body,
+                    (jnp.full_like(t, 2e-2), jnp.ones_like(t),
+                     jnp.zeros((), jnp.int32)))
+            else:
+                shadow = jnp.ones_like(t)
+
+            # Lambert + GGX-ish specular with the BRDF knobs
+            ndl = jnp.clip(jnp.sum(n * sun[None], -1), 0.0, 1.0)
+            h = sun[None] - d
+            h = h / (jnp.linalg.norm(h, axis=-1, keepdims=True) + 1e-9)
+            ndh = jnp.clip(jnp.sum(n * h, -1), 0.0, 1.0)
+            shininess = 2.0 / jnp.maximum(opts.roughness ** 2, 1e-3)
+            spec = opts.specular * ndh ** shininess
+            base = jnp.asarray(opts.surface_color)[None]
+            diffuse = base * (1.0 - opts.metallic)
+            light = (ndl * shadow)[:, None]
+            col = diffuse * (jnp.asarray(opts.ambient)[None] + light) + \
+                (base * opts.metallic + (1 - opts.metallic)) * \
+                (spec * shadow * ndl)[:, None]
             bg = jnp.asarray(opts.background)[None]
-            rgb = jnp.where(hit[:, None], col, bg)
+            rgb = jnp.where(hit[:, None], jnp.clip(col, 0.0, 1.0), bg)
             depth = jnp.where(hit, t, 1e10)
             return rgb, depth, hit
 

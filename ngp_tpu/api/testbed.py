@@ -160,7 +160,17 @@ class Testbed:
                 near_distance=t.near_distance,
                 density_grid_decay=t.density_grid_decay,
                 n_steps_between_grid_updates=16,
-                snap_to_pixel_centers=t.snap_to_pixel_centers)
+                snap_to_pixel_centers=t.snap_to_pixel_centers,
+                depth_supervision_lambda=t.depth_supervision_lambda,
+                optimize_extrinsics=t.optimize_extrinsics,
+                optimize_exposure=t.optimize_exposure,
+                optimize_focal_length=t.optimize_focal_length,
+                optimize_extra_dims=t.optimize_extra_dims,
+                optimize_distortion=t.optimize_distortion,
+                sample_image_proportional_to_error=
+                    t.sample_image_proportional_to_error,
+                sample_focal_plane_proportional_to_error=
+                    t.sample_focal_plane_proportional_to_error)
             self.trainer = NerfTrainer(ds, cfg, tcfg=tcfg)
             t.dataset = ds
             t.n_images_for_training = ds.n_images

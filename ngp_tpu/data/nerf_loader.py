@@ -242,7 +242,13 @@ def load_nerf(paths, sharpen: float = 0.0,
             if dpath.exists():
                 from PIL import Image
                 with Image.open(dpath) as im:
-                    depth = np.asarray(im, np.float32) * integer_depth_scale
+                    # depth is stored in dataset units — apply the world
+                    # scale like the transforms (ref: nerf_loader.cu:732
+                    # passes depth_scale * result.scale)
+                    depth = np.asarray(im, np.float32) * \
+                        (integer_depth_scale * scale)
+                if downscale > 1:
+                    depth = depth[::downscale, ::downscale]
         mat = np.asarray(fr.get("transform_matrix",
                                 fr.get("transform_matrix_start")), np.float32)
         mat_end = np.asarray(fr.get("transform_matrix_end", mat), np.float32)

@@ -43,10 +43,10 @@ def make_dp_train_step(trainer, mesh: Mesh, n_rays_per_device: int = 1024,
         n_rays = n_rays_per_device
         S = samples_per_device
 
-        img, xy, texsamp = trainer._sample_pixels(
+        img, xy, texsamp, _ = trainer._sample_pixels(
             data, {"cdf_x": None, "cdf_y": None, "cdf_img": None}, k_ray,
             n_rays)
-        o, d = trainer._build_rays(data, trainer.cam_params, img, xy)
+        o, d, _ = trainer._build_rays(data, trainer.cam_params, img, xy)
         t, dt, emit = march_rays(
             bitfield, o, d, k_march, n_rays, tc.march_steps,
             trainer.cone_angle, trainer.max_cascade,
@@ -93,11 +93,16 @@ def make_dp_train_step(trainer, mesh: Mesh, n_rays_per_device: int = 1024,
 
         (loss_sum, n_eff), grads = jax.value_and_grad(
             loss_of, has_aux=True)(params)
-        # ICI collectives: gradient + counter reduction
+        # ICI collectives: gradient + counter reduction. Normalize by the
+        # GLOBAL effective ray count so the DP step matches the
+        # single-device step's loss_sum/n_eff (ref divides loss_scale by
+        # n_rays, testbed_nerf.cu:1493); without this the gradient scale
+        # would drift with per-step sample counts and device count.
         grads = jax.lax.psum(grads, "data")
         loss_sum = jax.lax.psum(loss_sum, "data")
-        n_eff = jax.lax.psum(n_eff, "data")
-        return grads, loss_sum / jnp.maximum(n_eff, 1)
+        n_eff = jnp.maximum(jax.lax.psum(n_eff, "data"), 1)
+        grads = jax.tree.map(lambda g: g / n_eff, grads)
+        return grads, loss_sum / n_eff
 
     sharded = shard_map(
         per_shard_loss, mesh=mesh,

@@ -144,6 +144,99 @@ def load_msgpack_config(path) -> dict:
 
 
 # --------------------------------------------------------------------------
+# Reference (tiny-cuda-nn) snapshot interchange
+# --------------------------------------------------------------------------
+
+def _tcnn_mlp_widths(doc: dict, meta):
+    """The (n_in, n_out) sequences tcnn allocates for the NerfNetwork's two
+    MLPs, with tcnn's 16-multiple padding (ref: nerf_network.h:81-99 +
+    set_params order :361-394)."""
+    n_neurons = int(doc["network"].get("n_neurons", 64))
+    n_hidden = int(doc["network"].get("n_hidden_layers", 1))
+    rgb_neurons = int(doc.get("rgb_network", {}).get("n_neurons", 64))
+    rgb_hidden = int(doc.get("rgb_network", {}).get("n_hidden_layers", 2))
+    pos_padded = ((meta.n_output_dims + 15) // 16) * 16
+    density_widths = [(pos_padded, n_neurons)]
+    density_widths += [(n_neurons, n_neurons)] * (n_hidden - 1)
+    density_widths += [(n_neurons, 16)]
+    rgb_in = 32  # next_multiple(16 density out + 16 SH, 16)
+    rgb_widths = [(rgb_in, rgb_neurons)]
+    rgb_widths += [(rgb_neurons, rgb_neurons)] * (rgb_hidden - 1)
+    rgb_widths += [(rgb_neurons, 16)]  # padded output; rgb = first 3
+    return density_widths, rgb_widths
+
+
+def export_reference_snapshot(path, network_config: dict, params,
+                              aabb_scale: int = 1,
+                              density_grid: Optional[np.ndarray] = None,
+                              max_cascade: int = 0, training_step: int = 0,
+                              loss: float = 0.0, rays_per_batch: int = 4096,
+                              dataset_meta: Optional[dict] = None) -> None:
+    """Write a tcnn-compatible ``params_binary`` snapshot that the CUDA
+    reference (and our ``import_reference_snapshot``) can load.
+
+    ``params`` must be a tcnn-layout pytree (NGP_TPU_GRID_IMPL=tcnn):
+    {"pos_encoding": flat fp table, "density_net": (W...), "rgb_net": (W...)}.
+    Buffer order matches NerfNetwork::set_params (ref: nerf_network.h:361-394):
+    density MLP, rgb MLP, pos encoding, dir encoding (SH: no params).
+    Matrices are stored (n_out, n_in) row-major with input widths padded to
+    16 (tcnn ABI); ours are (n_in, n_out) for x·W — transposed on the way
+    out, zero-padding the extra rows/cols tcnn allocates.
+    """
+    from ngp_tpu.config import autofill_hashgrid_config
+    from ngp_tpu.kernels.hashgrid import HashGridMeta
+
+    enc_cfg = autofill_hashgrid_config(dict(network_config["encoding"]), 3,
+                                       2048.0, aabb_scale=aabb_scale)
+    meta = HashGridMeta.from_config(enc_cfg)
+    density_widths, rgb_widths = _tcnn_mlp_widths(network_config, meta)
+
+    def emit_mlp(mats, widths):
+        out = []
+        for w, (n_in, n_out) in zip(mats, widths):
+            w = np.asarray(w, np.float32)
+            full = np.zeros((n_in, n_out), np.float32)
+            full[: w.shape[0], : w.shape[1]] = w
+            out.append(full.T.reshape(-1))   # (n_out, n_in) row-major
+        return out
+
+    chunks = []
+    chunks += emit_mlp(params["density_net"], density_widths)
+    chunks += emit_mlp(params["rgb_net"], rgb_widths)
+    table = np.asarray(params["pos_encoding"], np.float32).reshape(-1)
+    assert table.size == meta.n_params * meta.n_features_per_level, \
+        f"table size {table.size} != tcnn layout {meta.n_params * meta.n_features_per_level}"
+    chunks.append(table)
+    flat = np.concatenate(chunks).astype(np.float16)
+
+    snap = {
+        "version": SNAPSHOT_FORMAT_VERSION,
+        "n_params": int(flat.size),
+        "params_type": "__half",
+        "params_binary": flat.tobytes(),
+        "density_grid_size": 128,
+        "training_step": int(training_step),
+        "loss": float(loss),
+        "bounding_radius": float(aabb_scale) * (3.0 ** 0.5) / 2.0,
+        "nerf": {
+            "aabb_scale": int(aabb_scale),
+            "rgb": {"rays_per_batch": int(rays_per_batch),
+                    "measured_batch_size": 1 << 18,
+                    "measured_batch_size_before_compaction": 1 << 18},
+            "dataset": _pack_tree(dataset_meta or {}),
+        },
+    }
+    if density_grid is not None:
+        snap["density_grid_binary"] = np.asarray(
+            density_grid, np.float16).tobytes()
+    half = aabb_scale / 2.0
+    snap["aabb"] = {"min": [0.5 - half] * 3, "max": [0.5 + half] * 3}
+    doc = dict(network_config)
+    doc["snapshot"] = snap
+    Path(path).write_bytes(msgpack.packb(doc, use_bin_type=True))
+
+
+# --------------------------------------------------------------------------
 # Reference (tiny-cuda-nn) snapshot import
 # --------------------------------------------------------------------------
 
@@ -190,18 +283,7 @@ def import_reference_snapshot(path):
             off += n
         return tuple(mats), off
 
-    n_neurons = int(doc["network"].get("n_neurons", 64))
-    n_hidden = int(doc["network"].get("n_hidden_layers", 1))
-    rgb_neurons = int(doc.get("rgb_network", {}).get("n_neurons", 64))
-    rgb_hidden = int(doc.get("rgb_network", {}).get("n_hidden_layers", 2))
-    pos_padded = ((meta.n_output_dims + 15) // 16) * 16
-    density_widths = [(pos_padded, n_neurons)]
-    density_widths += [(n_neurons, n_neurons)] * (n_hidden - 1)
-    density_widths += [(n_neurons, 16)]
-    rgb_in = 32  # next_multiple(16 density out + 16 SH, 16)
-    rgb_widths = [(rgb_in, rgb_neurons)]
-    rgb_widths += [(rgb_neurons, rgb_neurons)] * (rgb_hidden - 1)
-    rgb_widths += [(rgb_neurons, 16)]  # padded output; rgb = first 3
+    density_widths, rgb_widths = _tcnn_mlp_widths(doc, meta)
 
     off = 0
     density_net, off = take_mlp(off, density_widths)

@@ -28,6 +28,17 @@ from ngp_tpu.kernels.blocked_grid import (LANES, BlockedGridMeta, _block_geom,
 
 DEFAULT_TILE = 512
 
+# The bwd kernel's scoped VMEM footprint ((T,R) one-hot + iota + dtable
+# accumulator) exceeds the 16 MB default limit at tile 512 / 2^11 rows;
+# v5e/v4 expose far more physical VMEM — raise the Mosaic cap.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    # pltpu.CompilerParams was TPUCompilerParams in older jax releases
+    cls = getattr(pltpu, "CompilerParams", None) or pltpu.TPUCompilerParams
+    return cls(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _corner_masks(n_dims: int, tile: int):
     """Per-lane decode tables for corner lanes j = c·F + f (j < C·F),
@@ -194,6 +205,7 @@ def _encode_fwd_impl(table, pos, meta, tile):
         out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, 2, Np), jnp.float32),
+        compiler_params=_compiler_params(),
     )(ri, fr, table)
     feats = out[:, :, :N]                                      # (L, 2, N)
     return feats.transpose(2, 0, 1).reshape(N, L * 2), (table, pos)
@@ -234,6 +246,7 @@ def _encode_bwd(meta, tile, residuals, g):
             jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
             jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
     )(ri, fr, table, gT)
 
     # chain dfrac → dpos: frac = pos·scale + 0.5 - floor(...)

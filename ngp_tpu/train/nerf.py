@@ -76,6 +76,10 @@ class NerfTrainerConfig:
     exposure_l2_reg: float = 0.0
     sample_image_proportional_to_error: bool = False
     sample_focal_plane_proportional_to_error: bool = False
+    # depth supervision (ref: testbed_nerf.cu:1450-1452,1537; default off
+    # and L1 like the reference, testbed.h:654)
+    depth_supervision_lambda: float = 0.0
+    depth_loss_type: str = "L1"
     train_envmap: bool = False
     optimize_distortion: bool = False
     error_map_res: int = 32
@@ -115,6 +119,8 @@ class NerfTrainer:
         self.model = NerfNetwork(cfg, n_extra_dims=dataset.n_extra_learnable_dims)
         self.loss_type = loss_type_from_str(config.get("loss", {}).get("otype", "L2"))
         self.rgb_loss = make_loss(self.loss_type)
+        self.depth_loss = make_loss(
+            loss_type_from_str(self.tcfg.depth_loss_type))
         self.opt_cfg = AdamConfig.from_config(config.get("optimizer", {}),
                                               loss_scale=LOSS_SCALE)
 
@@ -142,6 +148,8 @@ class NerfTrainer:
             "images": jnp.asarray(dataset.images, jnp.float16),
             **({"rays": jnp.asarray(dataset.rays)}
                if dataset.rays is not None else {}),
+            **({"depths": jnp.asarray(dataset.depth_images, jnp.float32)}
+               if dataset.depth_images is not None else {}),
             "xforms": jnp.asarray(dataset.xforms),
             "focal": jnp.asarray(dataset.focal),
             "principal": jnp.asarray(dataset.principal),
@@ -179,6 +187,11 @@ class NerfTrainer:
 
         self.training_step = 0
         self.loss_scalar_ema = 0.0
+        # error-map CDF rebuild cadence grows ×1.5 after each rebuild
+        # (ref: testbed_nerf.cu:3022)
+        self._error_map_interval = float(
+            self.tcfg.n_steps_between_error_map_updates)
+        self._steps_since_error_map_update = 0
         self._step_fns = {}  # n_rays → jitted step
         self._grid_update = jax.jit(self._grid_update_impl,
                                     static_argnames=("full_sweep",),
@@ -190,28 +203,59 @@ class NerfTrainer:
 
     def _sample_pixels(self, data, error_state, key, n_rays):
         """Pick image + pixel per ray (uniform or error-CDF importance
-        sampling, ref: image_idx + nerf_random_image_pos_training)."""
+        sampling, ref: image_idx + nerf_random_image_pos_training).
+
+        Returns (img, xy, texsamp, pdf). pdf is the branch-local sampling
+        density (1.0 on uniform draws) that the reference divides the
+        DEPOSITED loss by — not the gradient (ref: testbed_nerf.cu:1448,
+        1458 keeps the gradient importance-weighted on purpose).
+        """
         tc = self.tcfg
-        k_img, k_xy, k_u = jax.random.split(key, 3)
+        k_img, k_xy, k_mix = jax.random.split(key, 3)
         I = self.dataset.n_images
+        pdf = jnp.ones((n_rays,))
+        # UNIFORM_SAMPLING_FRACTION = 0.5 mixture (ref: :991)
         if tc.sample_image_proportional_to_error:
             cdf_img = error_state["cdf_img"]
             u = jax.random.uniform(k_img, (n_rays,))
-            img = jnp.clip(jnp.searchsorted(cdf_img, u), 0, I - 1)
+            # first half of rays uniform, rest via CDF (ref: image_idx :1062)
+            uni = jnp.arange(n_rays) < n_rays // 2
+            img_cdf = jnp.clip(jnp.searchsorted(cdf_img, u), 0, I - 1)
+            img_uni = (u * I).astype(jnp.int32).clip(0, I - 1)
+            img = jnp.where(uni, img_uni, img_cdf)
+            prev = jnp.where(img_cdf > 0, cdf_img[jnp.maximum(img_cdf - 1, 0)],
+                             0.0)
+            pmf_img = cdf_img[img_cdf] - prev
+            pdf = jnp.where(uni, 1.0, pmf_img * I)
         else:
             img = jax.random.randint(k_img, (n_rays,), 0, I)
         if tc.sample_focal_plane_proportional_to_error:
             em = tc.error_map_res
-            ky, kx = jax.random.split(k_xy)
-            uy = jax.random.uniform(ky, (n_rays,))
-            ux = jax.random.uniform(kx, (n_rays,))
+            u2 = jax.random.uniform(k_xy, (n_rays, 2))
+            ux, uy = u2[:, 0], u2[:, 1]
+            # 50% uniform branch keyed off u_x (ref: sample_cdf_2d :994-999)
+            uni = ux < 0.5
+            ux_cdf = jnp.clip((ux - 0.5) / 0.5, 0.0, 1.0)
             cdf_y = error_state["cdf_y"][img]            # (R, em)
             row = jnp.clip(jax.vmap(jnp.searchsorted)(cdf_y, uy), 0, em - 1)
+            prev_y = jnp.where(row > 0, jnp.take_along_axis(
+                cdf_y, jnp.maximum(row - 1, 0)[:, None], 1)[:, 0], 0.0)
+            pmf_y = jnp.take_along_axis(cdf_y, row[:, None], 1)[:, 0] - prev_y
+            # stratified residual (ref: :1008) — within-cell jitter reuses
+            # the CDF draw itself, so it stays uniform AND uncorrelated
+            jy = jnp.clip((uy - prev_y) / jnp.maximum(pmf_y, 1e-12), 0., 1.)
             cdf_x = error_state["cdf_x"][img, row]       # (R, em)
-            col = jnp.clip(jax.vmap(jnp.searchsorted)(cdf_x, ux), 0, em - 1)
-            jy = jax.random.uniform(ky, (n_rays,))
-            jx = jax.random.uniform(kx, (n_rays,))
-            xy = jnp.stack([(col + jx) / em, (row + jy) / em], -1)
+            col = jnp.clip(jax.vmap(jnp.searchsorted)(cdf_x, ux_cdf),
+                           0, em - 1)
+            prev_x = jnp.where(col > 0, jnp.take_along_axis(
+                cdf_x, jnp.maximum(col - 1, 0)[:, None], 1)[:, 0], 0.0)
+            pmf_x = jnp.take_along_axis(cdf_x, col[:, None], 1)[:, 0] - prev_x
+            jx = jnp.clip((ux_cdf - prev_x) / jnp.maximum(pmf_x, 1e-12),
+                          0., 1.)
+            xy_cdf = jnp.stack([(col + jx) / em, (row + jy) / em], -1)
+            xy_uni = jnp.stack([ux / 0.5, uy], -1)
+            xy = jnp.where(uni[:, None], xy_uni, xy_cdf)
+            pdf = pdf * jnp.where(uni, 1.0, pmf_x * pmf_y * em * em)
         else:
             xy = jax.random.uniform(k_xy, (n_rays, 2))
         res = data["resolution"][img]
@@ -220,7 +264,7 @@ class NerfTrainer:
         pix = jnp.clip((xy * res).astype(jnp.int32), 0,
                        res.astype(jnp.int32) - 1)
         texsamp = data["images"][img, pix[:, 1], pix[:, 0]].astype(jnp.float32)
-        return img, xy, texsamp
+        return img, xy, texsamp, pdf
 
     @staticmethod
     def _rodrigues(rot):
@@ -272,9 +316,12 @@ class NerfTrainer:
             off2 = self.distortion.sample(cam["distortion"], xy)
             off3 = jnp.concatenate([off2, jnp.zeros_like(off2[:, :1])], -1)
             d_raw = d_raw + jnp.einsum("nij,nj->ni", xf[:, :, :3], off3)
-        d = d_raw / jnp.maximum(
+        d_norm = jnp.maximum(
             jnp.linalg.norm(d_raw, axis=-1, keepdims=True), 1e-9)
-        return o, d
+        d = d_raw / d_norm
+        # d_norm converts a z-depth map value into distance along the
+        # (normalized) ray (ref: rays_in_unnormalized[i].d.norm() :1450)
+        return o, d, d_norm[:, 0]
 
     def _march(self, bitfield, o, d, key, n_rays):
         return march_rays(bitfield, o, d, key, n_rays, self.tcfg.march_steps,
@@ -297,9 +344,18 @@ class NerfTrainer:
         E = max(self.dataset.n_extra_learnable_dims, 1)
         k_ray, k_march, k_bg, key = jax.random.split(key, 4)
 
-        img, xy, texsamp = self._sample_pixels(data, error_state, k_ray,
-                                               n_rays)
-        o0, d0 = self._build_rays(data, cam, img, xy)
+        img, xy, texsamp, samp_pdf = self._sample_pixels(
+            data, error_state, k_ray, n_rays)
+        o0, d0, dnorm0 = self._build_rays(data, cam, img, xy)
+        # per-ray depth target in ray-distance units; ≤0 disables
+        # (ref: target_depth at :1450)
+        if tc.depth_supervision_lambda > 0.0 and "depths" in data:
+            res = data["resolution"][img]
+            pix = jnp.clip((xy * res).astype(jnp.int32), 0,
+                           res.astype(jnp.int32) - 1)
+            depth_tgt = dnorm0 * data["depths"][img, pix[:, 1], pix[:, 0]]
+        else:
+            depth_tgt = None
         t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)
         # masked-away pixels (negative red sentinel) never train
         emit = emit & (texsamp[:, 0] >= 0.0)[:, None]
@@ -327,7 +383,7 @@ class NerfTrainer:
             # ref: compute_cam_gradient_train_nerf); the march's sample
             # times/compaction stay fixed (piecewise-constant sampling).
             if train_cam:
-                o, d = self._build_rays(data, cam_p, img, xy)
+                o, d, _ = self._build_rays(data, cam_p, img, xy)
             else:
                 o, d = o0, d0
             s_pos = o[rid] + s_t[:, None] * d[rid]
@@ -378,6 +434,19 @@ class NerfTrainer:
             per_c = self.rgb_loss(rgbtarget, rgb_ray)           # (R, 3)
             ray_mask = has_samples.astype(jnp.float32)
             loss_rgb = jnp.sum(per_c * ray_mask[:, None]) / n_eff
+
+            # depth supervision: composite expected ray depth Σ w·t and
+            # penalize vs the (ray-distance) depth target where one exists
+            # (ref: depth_ray accumulation :1368, lg_depth :1451-1452,
+            # per-sample gradient :1537-1540 — autodiff of the same math)
+            if depth_tgt is not None:
+                depth_ray = jnp.zeros((n_rays,)).at[s_ray].add(
+                    w * s_t, mode="drop")
+                dloss = self.depth_loss(depth_tgt[:, None],
+                                        depth_ray[:, None])[:, 0]
+                dmask = ray_mask * (depth_tgt > 0.0)
+                loss_rgb = loss_rgb + tc.depth_supervision_lambda * \
+                    jnp.sum(dloss * dmask) / n_eff
 
             # density regularizers (ref: :1495-1547, added to dL/draw
             # WITHOUT loss_scale — so divide by LOSS_SCALE here)
@@ -432,11 +501,23 @@ class NerfTrainer:
                 new_m[k], new_v[k] = m, v
             cam, cam_m, cam_v = new_cam, new_m, new_v
 
-        # error-map deposit (ref: :1465-1491 — bilinear; nearest here)
+        # error-map deposit: bilinear, with the per-ray loss divided by the
+        # sampling pdf so already-oversampled cells don't double-count once
+        # importance sampling is on (ref: :1448 loss /= img_pdf*xy_pdf, then
+        # bilinear atomic deposit :1465-1491 — the GRADIENT is deliberately
+        # left importance-weighted, ref comment at :1455-1458).
         em = tc.error_map_res
-        exy = jnp.clip((xy * em).astype(jnp.int32), 0, em - 1)
-        error_map = error_map.at[img, exy[:, 1], exy[:, 0]].add(
-            per_ray_loss, mode="drop")
+        dep = per_ray_loss / jnp.maximum(samp_pdf, 1e-12)
+        posf = jnp.clip(xy * em - 0.5, 0.0, em - 1.0 - 1e-4)
+        p0 = jnp.minimum(posf.astype(jnp.int32), em - 2)
+        wxy = posf - p0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = (wxy[:, 0] if dx else 1 - wxy[:, 0]) * \
+                      (wxy[:, 1] if dy else 1 - wxy[:, 1])
+                error_map = error_map.at[
+                    img, p0[:, 1] + dy, p0[:, 0] + dx].add(
+                    dep * wgt, mode="drop")
 
         stats = TrainStepStats(
             loss=loss_rgb / 3.0,
@@ -504,8 +585,11 @@ class NerfTrainer:
                     full_sweep=self.training_step < 256)
             if (tc.sample_image_proportional_to_error or
                     tc.sample_focal_plane_proportional_to_error) and \
-                    self.training_step % tc.n_steps_between_error_map_updates == 0:
+                    self._steps_since_error_map_update >= \
+                    int(self._error_map_interval):
                 err_state = self._error_state()
+                self._steps_since_error_map_update = 0
+                self._error_map_interval *= 1.5
             n_rays = self.tcfg.n_rays
             fn = self._step_fns.get(n_rays)
             if fn is None:
@@ -519,6 +603,7 @@ class NerfTrainer:
                 self.cam_v, self.error_map, err_state, self.grid.bitfield,
                 self.grid.mean, self.key, self.data)
             self.training_step += 1
+            self._steps_since_error_map_update += 1
             loss = float(stats.loss)
             self.last_loss = loss
             # rays/batch adaptation (ref: NerfCounters::update_after_training)

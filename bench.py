@@ -1,73 +1,116 @@
 #!/usr/bin/env python3
 """Driver benchmark: prints ONE JSON line.
 
-Flagship benchmark: neural-image fit on the bundled albert.exr (BASELINE
-config #1) — time to reach 30 dB PSNR. The reference ("instant" NGP on an
-RTX 3090) converges this in roughly 2 s; vs_baseline is
-baseline_seconds / our_seconds (1.0 = parity).
+Flagship metric (BASELINE.json): fox NeRF — time to reach 30 dB PSNR on a
+held-out training view. Driver target: < 60 s on the chip; vs_baseline is
+target_seconds / our_seconds (≥ 1.0 = target met). If 30 dB isn't reached
+inside the budget, reports the PSNR actually reached (vs_baseline =
+psnr/30).
 
-The measurement runs in a subprocess with a hard timeout so a wedged TPU
-tunnel still produces a result line.
+A cheap TPU reachability probe (tiny matmul in a subprocess, 120 s cap)
+runs first so a wedged tunnel produces a result line in seconds instead of
+burning the full budget (the round-1 failure mode).
 """
 import json
 import subprocess
 import sys
 
-TIMEOUT_S = 1500
-REFERENCE_SECONDS = 2.0
+PROBE_TIMEOUT_S = 150
+TIMEOUT_S = 1380
 TARGET_DB = 30.0
+TARGET_SECONDS = 60.0
+
+PROBE = r"""
+import jax, numpy as np, jax.numpy as jnp
+x = jnp.ones((256, 256))
+print("PROBE_OK", jax.devices()[0].platform, float(np.asarray((x @ x))[0, 0]))
+"""
 
 CHILD = r"""
 import json, os, time
 import numpy as np
+os.environ["NGP_TPU_GRID_IMPL"] = "blocked"
+from ngp_tpu.common import linear_to_srgb_np
 from ngp_tpu.config import load_network_config
-from ngp_tpu.data.image_io import load_exr
-from ngp_tpu.train.image import ImageTrainer
+from ngp_tpu.data.nerf_loader import load_nerf
+from ngp_tpu.opt.optimizers import inference_params
+from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+from ngp_tpu.train.nerf import NerfTrainer
 
-img = load_exr("/root/reference/data/image/albert.exr")
-cfg = load_network_config("configs/image/base.json")
+# upstream instant-ngp world mapping — REQUIRED for the classic fox capture
+ds = load_nerf("/root/reference/data/nerf/fox", scale=0.33,
+               offset=[0.5, 0.5, 0.5])
+cfg = load_network_config("configs/nerf/base.json")
+tr = NerfTrainer(ds, cfg)
 
-def build(impl):
-    os.environ["NGP_TPU_GRID_IMPL"] = impl
-    t = ImageTrainer(img, cfg, batch_size=1 << 18)
-    t.train(1)  # compile outside the timed region
-    return t
+view, scale = 0, 4
+W = int(ds.resolution[view][0]) // scale
+H = int(ds.resolution[view][1]) // scale
+gt = ds.images[view].astype(np.float32)
+gt = gt[(np.arange(H) * gt.shape[0] // H)][:, (np.arange(W) * gt.shape[1] // W)]
+gt_srgb = linear_to_srgb_np(np.clip(gt[..., :3], 0, 1))
+renderer = NerfRenderer.for_trainer(tr, RenderOptions(
+    width=W, height=H, background=(0, 0, 0, 0), linear_out=True,
+    chunk=1 << 15))
+focal = (float(ds.focal[view][0]) / scale, float(ds.focal[view][1]) / scale)
 
-try:
-    tr = build("blocked")   # Pallas kernel path
-except Exception as e:
-    import sys
-    print("blocked-grid path failed (%%s); falling back to tcnn-gather"
-          %% e, file=sys.stderr)
-    tr = build("tcnn")
+def eval_psnr():
+    p = inference_params(tr.params, tr.opt_state, tr.opt_cfg)
+    img = renderer.render(p, tr.grid.bitfield, ds.xforms[view], W, H,
+                          focal=focal)
+    pred = linear_to_srgb_np(np.clip(img[..., :3], 0, 1))
+    mse = float(np.mean((pred - gt_srgb) ** 2))
+    return -10 * np.log10(max(mse, 1e-10))
 
-t0 = time.time()
+tr.train(16)          # compile train path outside the timed region
+eval_psnr()           # compile render path
+
+train_s = 0.0
 elapsed = None
 psnr = 0.0
-for chunk in [10, 20, 30, 60, 120, 240, 480]:
+for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 1024, 1024]:
+    t0 = time.time()
     tr.train(chunk)
-    t_now = time.time() - t0
-    psnr = tr.psnr()
+    train_s += time.time() - t0
+    psnr = eval_psnr()
+    print("steps=%%d train_s=%%.1f psnr=%%.2f" %% (tr.training_step, train_s,
+                                                   psnr), flush=True)
     if psnr >= %(target)f:
-        elapsed = t_now
+        elapsed = train_s
         break
-    if t_now > 900:
+    if train_s > 900:
         break
 
 if elapsed is None:
     print("RESULT " + json.dumps({
-        "metric": "albert.exr image fit: PSNR after %%.0fs" %% (time.time() - t0),
+        "metric": "fox NeRF: PSNR after %%.0fs training" %% train_s,
         "value": round(psnr, 2), "unit": "dB",
         "vs_baseline": round(psnr / %(target)f, 3)}))
 else:
     print("RESULT " + json.dumps({
-        "metric": "albert.exr image fit: time to 30 dB PSNR",
+        "metric": "fox NeRF: train time to %(target).0f dB PSNR",
         "value": round(elapsed, 2), "unit": "s",
         "vs_baseline": round(%(ref)f / elapsed, 4)}))
-""" % {"target": TARGET_DB, "ref": REFERENCE_SECONDS}
+""" % {"target": TARGET_DB, "ref": TARGET_SECONDS}
 
 
 def main():
+    try:
+        probe = subprocess.run([sys.executable, "-u", "-c", PROBE],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S, cwd="/root/repo")
+        if "PROBE_OK" not in probe.stdout:
+            print(json.dumps({
+                "metric": "bench skipped (accelerator probe failed)",
+                "value": 0, "unit": "", "vs_baseline": 0}))
+            sys.stderr.write(probe.stdout[-500:] + probe.stderr[-1000:])
+            return 0
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "bench skipped (TPU tunnel unresponsive in probe)",
+            "value": 0, "unit": "", "vs_baseline": 0}))
+        return 0
+
     try:
         out = subprocess.run([sys.executable, "-u", "-c", CHILD],
                              capture_output=True, text=True,
@@ -81,7 +124,7 @@ def main():
                           "value": 0, "unit": "", "vs_baseline": 0}))
     except subprocess.TimeoutExpired:
         print(json.dumps({
-            "metric": "bench timed out (TPU tunnel unresponsive)",
+            "metric": "bench timed out mid-run (probe was OK)",
             "value": 0, "unit": "", "vs_baseline": 0}))
     return 0
 

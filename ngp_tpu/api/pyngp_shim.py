@@ -219,12 +219,36 @@ class Testbed(_Testbed):
         self._render_thread = threading.Thread(target=work, daemon=True)
         self._render_thread.start()
 
-    def render_with_rolling_shutter(self, width, height, spp, linear,
-                                    transform_start, transform_end,
-                                    shutter_fraction):
-        """ref: render_with_rolling_shutter_to_cpu (python_api.cu:263)."""
-        self.set_camera_matrix(np.asarray(transform_start)[:3, :4])
-        return self.render(width, height, spp=spp, linear=linear)
+    def render_with_rolling_shutter(self, camera_transform_start,
+                                    camera_transform_end, rolling_shutter,
+                                    width, height, spp=1, linear=True):
+        """Per-ray time = A + B·u + C·v + D·t for rolling_shutter
+        [A,B,C,D]; transforms are in NeRF (dataset) convention
+        (ref: render_with_rolling_shutter_to_cpu, python_api.cu:263 —
+        signature order matches the reference binding :584)."""
+        from ngp_tpu.data.nerf_loader import nerf_matrix_to_ngp
+        from ngp_tpu.opt.optimizers import inference_params
+        ds = self.nerf.training.dataset
+        scale = ds.scale if ds is not None else 1.0
+        offset = ds.offset if ds is not None else np.zeros(3, np.float32)
+        xf_s = nerf_matrix_to_ngp(np.asarray(camera_transform_start,
+                                             np.float32), scale, offset)
+        xf_e = nerf_matrix_to_ngp(np.asarray(camera_transform_end,
+                                             np.float32), scale, offset)
+        renderer = self._nerf_renderer(width, height)
+        p = inference_params(self.trainer.params, self.trainer.opt_state,
+                             self.trainer.opt_cfg)
+        focal = getattr(self, "_view_focal", np.array([height, height]))
+        img = renderer.render(
+            p, self.trainer.grid.bitfield, xf_s, width, height,
+            focal=(float(focal[0]), float(focal[1])), spp=spp,
+            camera_matrix_end=xf_e,
+            rolling_shutter=tuple(float(x) for x in rolling_shutter))
+        if not linear:
+            from ngp_tpu.common import linear_to_srgb_np
+            rgb = linear_to_srgb_np(np.clip(img[..., :3], 0, 1))
+            img = np.concatenate([rgb, img[..., 3:]], -1)
+        return img
 
 
 def free_temporary_memory():

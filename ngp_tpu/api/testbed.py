@@ -63,6 +63,14 @@ class Testbed:
         self.color_space = ColorSpace.LINEAR
         self.tonemap_curve = TonemapCurve.IDENTITY
         self.render_mode = RenderMode.SHADE
+        # ref: m_aperture_size / m_slice_plane_z / m_visualized_layer /
+        # m_render_aabb / m_render_masks / m_scale (testbed.h)
+        self.aperture_size = 0.0
+        self.slice_plane_z = 0.0
+        self.visualized_layer = 0
+        self.render_aabb = None        # BoundingBox or None = training AABB
+        self.render_masks = []         # list of multi_nerf.Mask3D
+        self.scale = 1.0
         self.dynamic_res = True
         self.dynamic_res_target_fps = 15.0
         self.fixed_res_factor = 1.0
@@ -110,7 +118,7 @@ class Testbed:
         self._frame_ms = EmaMeter(0.5)
         self._loss_graph = []          # ref: 256-point loss graph
         self._loss_ema = EmaMeter(1.0)
-        self._renderer = None
+        self._renderer_cache = {}
 
     # -- data + network --------------------------------------------------
 
@@ -174,6 +182,11 @@ class Testbed:
             self.trainer = NerfTrainer(ds, cfg, tcfg=tcfg)
             t.dataset = ds
             t.n_images_for_training = ds.n_images
+            if ds.render_aabb is not None:
+                # dataset-provided crop box (ref: nerf_loader.cu:455-458
+                # → m_render_aabb)
+                self.render_aabb = SimpleNamespace(
+                    min=ds.render_aabb[0], max=ds.render_aabb[1])
             self.set_camera_to_training_view(0)
         elif mode == TestbedMode.SDF:
             from ngp_tpu.train.sdf import SdfTrainer
@@ -186,7 +199,7 @@ class Testbed:
                                          batch_size=self.training_batch_size)
         else:
             raise ValueError(f"unsupported mode {mode}")
-        self._renderer = None
+        self._renderer_cache = {}
 
     # -- training loop ----------------------------------------------------
 
@@ -280,34 +293,97 @@ class Testbed:
             return r.render(p, self.camera_matrix, width, height)
         if self.mode == TestbedMode.NERF:
             from ngp_tpu.opt.optimizers import inference_params
-            from ngp_tpu.render.nerf_render import (NerfRenderer,
-                                                    RenderOptions)
-            if self._renderer is None:
-                fx = getattr(self, "_view_focal", [height, height])[0]
-                ds = self.nerf.training.dataset
-                lens = tuple(ds.lens_params[0]) if (
-                    ds is not None and self.nerf.render_with_lens_distortion
-                    and ds.lens_is_opencv) else (0.0, 0.0, 0.0, 0.0)
-                self._renderer = NerfRenderer.for_trainer(
-                    self.trainer,
-                    RenderOptions(width=width, height=height,
-                                  fov_axis_focal=fx,
-                                  background=tuple(self.background_color),
-                                  linear_out=True, lens_params=lens,
-                                  min_transmittance=self.nerf.render_min_transmittance))
             p = inference_params(self.trainer.params, self.trainer.opt_state,
                                  self.trainer.opt_cfg)
             focal = getattr(self, "_view_focal", np.array([height, height]))
-            img = self._renderer.render(p, self.trainer.grid.bitfield,
-                                        self.camera_matrix, width, height,
-                                        focal=(float(focal[0]),
-                                               float(focal[1])),
-                                        spp=spp)
+            renderer = self._nerf_renderer(width, height)
+            start_cam = np.asarray(self.camera_matrix, np.float32)
+            # camera-path motion blur: per-spp log-space interpolation of
+            # the frame's start/end cameras (ref: render_to_cpu,
+            # src/python_api.cu:162-178)
+            animated = (start_time >= 0.0 and self.camera_path is not None
+                        and end_time >= 0.0 and (end_time != start_time
+                                                 or shutter_fraction > 0.0))
+            if animated and shutter_fraction > 0.0:
+                from ngp_tpu.io.camera_path import log_space_lerp
+                end_cam = self.camera_path.eval(end_time).to_matrix()
+                acc = None
+                for i in range(max(spp, 1)):
+                    a0 = i / max(spp, 1) * shutter_fraction
+                    a1 = (i + 1) / max(spp, 1) * shutter_fraction
+                    cam_s = log_space_lerp(start_cam, end_cam, a0)
+                    cam_e = log_space_lerp(start_cam, end_cam, a1)
+                    f = renderer.render(
+                        p, self.trainer.grid.bitfield, cam_s, width, height,
+                        focal=(float(focal[0]), float(focal[1])), spp=1,
+                        seed=i, camera_matrix_end=cam_e,
+                        rolling_shutter=(0.0, 0.0, 0.0, 1.0))
+                    acc = f if acc is None else acc + f
+                img = acc / max(spp, 1)
+                self.camera_matrix = end_cam
+            else:
+                img = renderer.render(p, self.trainer.grid.bitfield,
+                                      start_cam, width, height,
+                                      focal=(float(focal[0]),
+                                             float(focal[1])),
+                                      spp=spp)
             if not linear:
                 rgb = linear_to_srgb_np(np.clip(img[..., :3], 0, 1))
                 img = np.concatenate([rgb, img[..., 3:]], -1)
             return img
         raise ValueError(f"render unsupported for mode {self.mode}")
+
+    def _nerf_renderer(self, width: int, height: int):
+        """Renderer cache keyed by the option set (each distinct option
+        tuple owns its compiled chunk kernel)."""
+        from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+        ds = self.nerf.training.dataset
+        lens = tuple(ds.lens_params[0]) if (
+            ds is not None and self.nerf.render_with_lens_distortion
+            and ds.lens_is_opencv) else (0.0, 0.0, 0.0, 0.0)
+        ra_min = ra_max = None
+        if getattr(self, "render_aabb", None) is not None:
+            ra_min = tuple(float(x) for x in self.render_aabb.min)
+            ra_max = tuple(float(x) for x in self.render_aabb.max)
+        opts = RenderOptions(
+            width=width, height=height,
+            fov_axis_focal=getattr(self, "_view_focal", [height, height])[0],
+            background=tuple(self.background_color), linear_out=True,
+            lens_params=lens,
+            min_transmittance=self.nerf.render_min_transmittance,
+            render_mode=self.render_mode,
+            snap_to_pixel_centers=bool(self.snap_to_pixel_centers),
+            exposure=float(self.exposure),
+            tonemap_curve=self.tonemap_curve,
+            aperture_size=float(getattr(self, "aperture_size", 0.0)),
+            # ref: render_nerf passes m_slice_plane_z + m_scale as focus_z
+            focus_z=float(getattr(self, "slice_plane_z", 0.0))
+            + float(getattr(self, "scale", 1.0)),
+            render_aabb_min=ra_min, render_aabb_max=ra_max,
+            slice_plane_z=float(getattr(self, "slice_plane_z", 0.0)),
+            visualized_level=int(getattr(self, "visualized_layer", 0)))
+        key = (opts.render_mode, opts.snap_to_pixel_centers, opts.exposure,
+               opts.tonemap_curve, opts.background, opts.lens_params,
+               opts.min_transmittance, ra_min, ra_max, opts.aperture_size,
+               opts.slice_plane_z, opts.visualized_level)
+        cache = getattr(self, "_renderer_cache", None)
+        if cache is None:
+            cache = self._renderer_cache = {}
+        if key not in cache:
+            masks = list(getattr(self, "render_masks", []) or [])
+            env = None
+            if ds is not None and ds.envmap is not None:
+                # dataset envmap as the render background
+                # (ref: envmap read in composite, envmap.cuh:30-105)
+                import jax.numpy as jnp
+                from ngp_tpu.nn.trainable_buffer import Envmap
+                env_arr = jnp.asarray(ds.envmap)
+                sampler = Envmap(ds.envmap.shape[0], ds.envmap.shape[1])
+                env = lambda d: sampler.sample(env_arr, d)
+            cache[key] = NerfRenderer.for_trainer(self.trainer, opts,
+                                                  masks=masks,
+                                                  envmap_sampler=env)
+        return cache[key]
 
     def render_dynamic(self, width: int, height: int) -> np.ndarray:
         """Dynamic-resolution render: scale resolution to hit

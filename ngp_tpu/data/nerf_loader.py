@@ -49,6 +49,8 @@ class NerfDataset:
     paths: list
     up: np.ndarray                # (3,) up vector (NGP space)
     rays: Optional[np.ndarray] = None    # (I, H, W, 6) o+d, NGP space
+    render_aabb: Optional[np.ndarray] = None  # (2,3) crop box (ngp units)
+    envmap: Optional[np.ndarray] = None       # (He, We, 4) linear RGBA
 
     @property
     def n_images(self) -> int:
@@ -84,14 +86,42 @@ def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray,
     return r
 
 
-def _load_image_rgba(path: Path) -> np.ndarray:
+def _load_image_rgba(path: Path, white_transparent: bool = False,
+                     black_transparent: bool = False) -> np.ndarray:
     from ngp_tpu.data.image_io import load_exr, load_stbi
     if path.suffix.lower() == ".exr":
         img = load_exr(path)
         if img.shape[-1] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
         return img.astype(np.float32)
+    if white_transparent or black_transparent:
+        # NSVF-style flags: pure white/black byte pixels get alpha 0
+        # BEFORE premultiplying (ref: convert_rgba32, nerf_loader.cu:59-73)
+        from PIL import Image
+        from ngp_tpu.data.image_io import srgb_to_linear_np
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGBA"), np.uint8)
+        a = arr[..., 3].astype(np.float32) / 255.0
+        solid = arr[..., :3]
+        if white_transparent:
+            a = np.where((solid == 255).all(-1), 0.0, a)
+        if black_transparent:
+            a = np.where((solid == 0).all(-1), 0.0, a)
+        rgb = srgb_to_linear_np(arr[..., :3].astype(np.float32) / 255.0)
+        rgb = rgb * a[..., None]
+        return np.concatenate([rgb, a[..., None]], -1).astype(np.float32)
     return load_stbi(path)  # sRGB→linear, premultiplied
+
+
+def _sharpen_image(img: np.ndarray, amount: float) -> np.ndarray:
+    """5-tap unsharp filter on all 4 channels; center weight ranges from 5
+    (strong) to ∞ (none) (ref: sharpen kernel, nerf_loader.cu:103-130) —
+    edge pixels clamp instead of the reference's linear-index wrap."""
+    center_w = 4.0 + 1.0 / max(amount, 1e-6)
+    p = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = (center_w * img - p[:-2, 1:-1] - p[2:, 1:-1]
+           - p[1:-1, :-2] - p[1:-1, 2:]) / (center_w - 4.0)
+    return np.maximum(out, 0.0).astype(np.float32)
 
 
 def _find_image_path(dirpath: Path, rel: str) -> Optional[Path]:
@@ -152,6 +182,33 @@ def load_nerf(paths, sharpen: float = 0.0,
         offset = np.asarray(g0.get("offset", [0.0, 0.0, 0.0]), np.float32)
     else:
         offset = np.asarray(offset, np.float32)
+    if "aabb" in g0:
+        # isotropic fit of the given [[min],[max]] box into the unit cube
+        # (ref: nerf_loader.cu:506-512); explicit caller scale/offset wins
+        box = np.asarray(g0["aabb"], np.float32)
+        length = max(float(np.max(np.abs(box[1] - box[0]))), 1e-6)
+        scale = 1.0 / length
+        offset = (-(box[1] + box[0]) * 0.5 * scale + 0.5).astype(np.float32)
+    render_aabb = None
+    if "render_aabb" in g0:
+        render_aabb = np.asarray(g0["render_aabb"], np.float32)
+    sharpen_amount = float(g0.get("sharpen", sharpen))
+    white_transparent = bool(g0.get("white_transparent", False))
+    black_transparent = bool(g0.get("black_transparent", False))
+    envmap = None
+    if "envmap" in g0:
+        epath = basedir / g0["envmap"]
+        if not epath.exists():
+            raise FileNotFoundError(f"Environment map {epath} does not exist")
+        from ngp_tpu.data.image_io import load_exr, load_stbi
+        if epath.suffix.lower() == ".exr":
+            envmap = load_exr(epath)
+            if envmap.shape[-1] == 3:
+                envmap = np.concatenate(
+                    [envmap, np.ones_like(envmap[..., :1])], -1)
+        else:
+            envmap = load_stbi(epath, premultiply=False)
+        envmap = envmap.astype(np.float32)
     from_mitsuba = bool(g0.get("from_mitsuba", False))
     n_extra = int(g0.get("n_extra_learnable_dims", 0))
     integer_depth_scale = float(g0.get("integer_depth_scale", 0.0))
@@ -203,9 +260,11 @@ def load_nerf(paths, sharpen: float = 0.0,
         ipath = _find_image_path(dirpath, fr["file_path"])
         if ipath is None:
             return None
-        img = _load_image_rgba(ipath)
+        img = _load_image_rgba(ipath, white_transparent, black_transparent)
         if downscale > 1:
             img = img[::downscale, ::downscale]
+        if sharpen_amount > 0.0:
+            img = _sharpen_image(img, sharpen_amount)
         H, W = img.shape[:2]
         # alpha sidecar (ref: nerf_loader.cu:586-601)
         apath = ipath.with_name(ipath.stem + ".alpha" + ipath.suffix)
@@ -309,4 +368,6 @@ def load_nerf(paths, sharpen: float = 0.0,
         sharpness=np.asarray([r[8] for r in results], np.float32),
         paths=[r[9] for r in results],
         up=up,
+        render_aabb=render_aabb,
+        envmap=envmap,
     )

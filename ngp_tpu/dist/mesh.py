@@ -50,6 +50,53 @@ def table_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("model"))
 
 
+def make_tp_blocked_encode(meta, mesh: Mesh, data_sharded: bool = True):
+    """TP execution path for the blocked-grid encoding: the (L, R, 128)
+    table is row-sharded over the ``model`` axis; every shard computes the
+    GLOBAL lookup geometry, contributes partial features from the rows it
+    owns (out-of-shard corners masked to zero), and a psum over ICI
+    combines them. Gradients flow back shard-locally through the psum —
+    each device accumulates dTable only for its own rows, so table memory
+    AND backward bandwidth scale 1/M (the gigapixel/large-T regime,
+    SURVEY §2.10 TP).
+
+    Returns encode(table_sharded, pos) → (N, L·F). ``data_sharded`` also
+    shards the sample axis over ``data`` (DP×TP).
+    """
+    from jax.experimental.shard_map import shard_map
+    from ngp_tpu.kernels.blocked_grid import (corner_lanes_and_weights,
+                                              lookup_geometry)
+    import jax.numpy as jnp
+
+    M = mesh.shape["model"]
+    if meta.rows % M:
+        raise ValueError(f"rows {meta.rows} not divisible by model={M}")
+    R_local = meta.rows // M
+
+    def shard_fn(tbl_local, pos):
+        lo = jax.lax.axis_index("model") * R_local
+        rows, local, frac = lookup_geometry(meta, pos)       # global rows
+        lanes, weights = corner_lanes_and_weights(meta, local, frac)
+        lrows = rows - lo
+        inside = (lrows >= 0) & (lrows < R_local)            # (L, N)
+        lrows = jnp.clip(lrows, 0, R_local - 1)
+        rowdata = jnp.take_along_axis(
+            tbl_local, lrows[:, :, None].astype(jnp.int32), axis=1)
+        feats = []
+        for f in range(meta.n_features_per_level):
+            vals = jnp.take_along_axis(rowdata, lanes + f, axis=-1)
+            feats.append(jnp.sum(vals * weights, axis=-1) * inside)
+        out = jnp.stack(feats, -1)                           # (L, N, F)
+        out = out.transpose(1, 0, 2).reshape(pos.shape[0], -1)
+        return jax.lax.psum(out, "model")
+
+    pos_spec = P("data") if data_sharded else P()
+    out_spec = P("data") if data_sharded else P()
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(None, "model", None), pos_spec),
+                     out_specs=out_spec, check_rep=False)
+
+
 def shard_params(params, mesh: Mesh, shard_tables: bool = False):
     """Place a parameter pytree on the mesh: tables optionally TP-sharded
     (1-D leaves above 1M elements), everything else replicated."""

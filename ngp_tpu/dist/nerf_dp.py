@@ -52,7 +52,7 @@ def make_dp_train_step(trainer, mesh: Mesh, n_rays_per_device: int = 1024,
             trainer.cone_angle, trainer.max_cascade,
             trainer.aabb_min, trainer.aabb_size)
         emit = emit & (texsamp[:, 0] >= 0.0)[:, None]
-        s_t, s_dt, s_ray, counts, offsets, fits, total = compact_samples(
+        s_t, s_dt, s_ray, counts, offsets, fits, total, _ = compact_samples(
             t, dt, emit, n_rays, S)
         rid = jnp.clip(s_ray, 0, n_rays - 1)
 

@@ -3,16 +3,25 @@
 TPU-native equivalent of the reference's density-grid subsystem
 (ref: src/testbed_nerf.cu:465-620, 2761-2859): a 128³ grid per cascade
 storing an EMA'd max-splat of σ·Δt_min, thresholded into a bitfield with
-max-pooled mips. Everything here is one jitted update — cell sampling,
-density eval, scatter-max splat, EMA, mean, bit packing, mip pooling —
-with no host sync.
+max-pooled mips. Everything here is one jitted update — cell sweep,
+density eval, EMA, mean, bit packing, mip pooling — with no host sync.
 
-Layout notes:
-- grid values: (n_total_cascades·128³,) float32, Morton-ordered within each
-  cascade (kept Morton for snapshot compatibility with the reference's
-  density_grid_binary payload).
-- bitfield: (NERF_CASCADES·128³//8,) uint8, same bit order as the
-  reference (bit i%8 of byte i//8 for Morton index i).
+Layout (TPU-first redesign; differs from the reference's Morton order):
+- grid values: ((max_cascade+1)·128³,) float32 in LINEAR (z,y,x) order per
+  cascade. Linear order makes every maintenance step a reshape/slice —
+  the mip max-pool is a (64,2,64,2,64,2) any-reduce plus a center-cube
+  slice assignment, and the periodic cell sweep is a strided slice — so
+  the update needs NO scatter at all (XLA TPU scatters are ~100× slower
+  than the equivalent reshapes). It also removes the per-sample Morton
+  bit-interleave from the hot march path.
+- bitfield: (NERF_CASCADES·128³//8,) uint8. Byte index = linear index of
+  (x//2, y//2, z//2) in a 64³ grid; bit = (x&1) | (y&1)<<1 | (z&1)<<2 —
+  i.e. bytes are 2×2×2 blocks like the reference's Morton packing, but
+  block order is linear.
+- The REFERENCE layout (Morton, ref: cascaded_grid_idx_at) is preserved at
+  the snapshot boundary: ``density_to_morton``/``density_from_morton``
+  convert when reading/writing ``density_grid_binary`` payloads
+  (ref: src/testbed.cu:3018-3023).
 """
 from __future__ import annotations
 
@@ -21,12 +30,16 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ngp_tpu.common import (GRID_VOLUME, NERF_CASCADES, NERF_GRIDSIZE,
                             NERF_MIN_OPTICAL_THICKNESS, MIN_CONE_STEPSIZE)
 
+G = NERF_GRIDSIZE          # 128
+GH = NERF_GRIDSIZE // 2    # 64 (byte-block grid side)
 
-# --- Morton (z-order) encoding, vectorized bit twiddling ---------------------
+
+# --- Morton (z-order) encoding — snapshot-boundary + parity tests only -------
 
 def _part1by2(x: jax.Array) -> jax.Array:
     x = x.astype(jnp.uint32) & jnp.uint32(0x3FF)
@@ -57,6 +70,44 @@ def morton3d_invert(idx) -> tuple[jax.Array, jax.Array, jax.Array]:
             _compact1by2(i >> 2).astype(jnp.int32))
 
 
+def _morton_perm() -> np.ndarray:
+    """linear index → Morton index, one 128³ cascade (static, cached)."""
+    global _MORTON_PERM
+    if _MORTON_PERM is None:
+        idx = np.arange(GRID_VOLUME, dtype=np.uint32)
+        x = idx % G
+        y = (idx // G) % G
+        z = idx // (G * G)
+
+        def part(v):
+            v = v.astype(np.uint32) & 0x3FF
+            v = (v | (v << 16)) & 0x030000FF
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+        _MORTON_PERM = (part(x) | (part(y) << 1) | (part(z) << 2)).astype(np.int64)
+    return _MORTON_PERM
+
+
+_MORTON_PERM = None
+
+
+def density_to_morton(density: np.ndarray) -> np.ndarray:
+    """Linear-layout density → reference Morton layout (per cascade)."""
+    d = np.asarray(density).reshape(-1, GRID_VOLUME)
+    out = np.empty_like(d)
+    out[:, _morton_perm()] = d
+    return out.reshape(np.asarray(density).shape)
+
+
+def density_from_morton(density: np.ndarray) -> np.ndarray:
+    """Reference Morton-layout density → linear layout (per cascade)."""
+    d = np.asarray(density).reshape(-1, GRID_VOLUME)
+    out = d[:, _morton_perm()]
+    return out.reshape(np.asarray(density).shape)
+
+
 # --- mip / cell helpers (ref: src/testbed_nerf.cu:267-352,449-463) -----------
 
 def mip_from_pos(pos: jax.Array, max_cascade: int) -> jax.Array:
@@ -75,26 +126,33 @@ def mip_from_dt(dt: jax.Array, pos: jax.Array, max_cascade: int) -> jax.Array:
     return jnp.where(d < 1.0, mip, jnp.clip(jnp.maximum(e, mip), 0, max_cascade))
 
 
-def cell_idx_at(pos: jax.Array, mip: jax.Array) -> jax.Array:
-    """Morton cell index of pos at the given mip (pos (N,3), mip (N,))."""
+def cell_coords_at(pos: jax.Array, mip: jax.Array) -> jax.Array:
+    """Integer cell coords (N,3) of pos at the given mip."""
     scale = jnp.exp2(-mip.astype(jnp.float32))[:, None]
     p = (pos - 0.5) * scale + 0.5
-    i = jnp.clip((p * NERF_GRIDSIZE).astype(jnp.int32), 0, NERF_GRIDSIZE - 1)
-    return morton3d(i[:, 0], i[:, 1], i[:, 2])
+    return jnp.clip((p * NERF_GRIDSIZE).astype(jnp.int32), 0, NERF_GRIDSIZE - 1)
+
+
+def cell_idx_at(pos: jax.Array, mip: jax.Array) -> jax.Array:
+    """LINEAR cell index of pos at the given mip (pos (N,3), mip (N,))."""
+    i = cell_coords_at(pos, mip)
+    return (i[:, 2] * G + i[:, 1]) * G + i[:, 0]
 
 
 def occupied_at(bitfield: jax.Array, pos: jax.Array, mip: jax.Array) -> jax.Array:
     """Occupancy lookup (ref: density_grid_occupied_at)."""
-    idx = cell_idx_at(pos, mip)
-    byte = jnp.take(bitfield, idx // 8 + mip * (GRID_VOLUME // 8), mode="clip")
-    return (byte >> (idx % 8).astype(jnp.uint8)) & jnp.uint8(1) > 0
+    i = cell_coords_at(pos, mip)
+    byte = ((i[:, 2] >> 1) * GH + (i[:, 1] >> 1)) * GH + (i[:, 0] >> 1)
+    bit = (i[:, 0] & 1) | ((i[:, 1] & 1) << 1) | ((i[:, 2] & 1) << 2)
+    v = jnp.take(bitfield, byte + mip * (GRID_VOLUME // 8), mode="clip")
+    return (v >> bit.astype(jnp.uint8)) & jnp.uint8(1) > 0
 
 
 # --- grid state ---------------------------------------------------------------
 
 class OccupancyGrid(NamedTuple):
     """Functional state of the cascaded grid."""
-    density: jax.Array    # ((max_cascade+1)·128³,) f32, <0 marks untrained
+    density: jax.Array    # ((max_cascade+1)·128³,) f32 linear, <0 untrained
     bitfield: jax.Array   # (NERF_CASCADES·128³//8,) uint8
     mean: jax.Array       # scalar f32: mean clamped level-0 density
     ema_step: jax.Array   # int32 update counter
@@ -110,11 +168,18 @@ def init_grid(max_cascade: int) -> OccupancyGrid:
     )
 
 
+def _linear_coords(idx: jax.Array):
+    x = idx % G
+    y = (idx // G) % G
+    z = idx // (G * G)
+    return x, y, z
+
+
 def cell_center_positions(max_cascade: int) -> jax.Array:
-    """World positions of all cell centers for every cascade, Morton order
+    """World positions of all cell centers for every cascade, linear order
     — used by mark_untrained (ref: mark_untrained_density_grid)."""
-    idx = jnp.arange(GRID_VOLUME, dtype=jnp.uint32)
-    x, y, z = morton3d_invert(idx)
+    idx = jnp.arange(GRID_VOLUME, dtype=jnp.int32)
+    x, y, z = _linear_coords(idx)
     base = (jnp.stack([x, y, z], -1).astype(jnp.float32) + 0.5) / NERF_GRIDSIZE
     levels = jnp.exp2(jnp.arange(max_cascade + 1, dtype=jnp.float32))
     pos = (base[None] - 0.5) * levels[:, None, None] + 0.5   # (C, V, 3)
@@ -127,7 +192,7 @@ def mark_untrained(max_cascade: int, xforms: jax.Array, focal: jax.Array,
     (ref: mark_untrained_density_grid, src/testbed_nerf.cu:369-417).
 
     xforms: (I, 3, 4) camera-to-world; focal: (I, 2); resolution: (I, 2).
-    Returns the initial density vector ((max_cascade+1)·V,).
+    Returns the initial density vector ((max_cascade+1)·V,) in linear order.
     """
     pos = cell_center_positions(max_cascade)                  # (N, 3)
     levels = jnp.repeat(jnp.arange(max_cascade + 1), GRID_VOLUME)
@@ -163,118 +228,114 @@ def update_grid(
     aabb_min: jax.Array | float = 0.0,
     aabb_size: jax.Array | float = 1.0,
 ) -> OccupancyGrid:
-    """One grid maintenance step (ref: update_density_grid_nerf):
-    sample cells (uniform + occupied-biased with up to 10 retries), query σ,
-    max-splat σ·Δt_min, EMA-max merge, then rebuild mean/bitfield/mips.
+    """One grid maintenance step.
+
+    The reference samples ¼ of cells uniformly + ¼ biased toward occupied
+    ones with an LCG retry loop and scatter-max splats
+    (ref: update_density_grid_nerf :2761-2842). TPU redesign: a
+    deterministic BLOCK-CYCLIC SWEEP with the same per-update budget
+    (n_uniform + n_nonuniform cells): update k visits the contiguous cell
+    block [b·n, (b+1)·n) with b = ema_step mod n_blocks, so every cell is
+    refreshed exactly every `n_blocks` updates — the same expected cadence
+    as the reference's random sampling with a strictly better worst case —
+    and the update is a dynamic_slice + dynamic_update_slice (no scatter,
+    no gather, no strided relayout). Sample positions are still jittered
+    uniformly within each cell.
 
     ``density_fn`` maps *warped* positions (N,3)∈[0,1]³ → σ (N,).
     ``aabb_min/size`` define the training AABB for the warp.
     """
     n_cascades = max_cascade + 1
     n_cells = GRID_VOLUME * n_cascades
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    budget = max(n_uniform + n_nonuniform, 1)
+    k1, _ = jax.random.split(key)
 
-    if n_uniform >= n_cells:
-        # full sweep (warmup, ref: all cells while step < 256): enumerate
-        # every cell once — no random probing needed.
-        flat_idx = jnp.arange(n_cells, dtype=jnp.int32)
-        level = flat_idx // GRID_VOLUME
-        x, y, z = morton3d_invert(flat_idx % GRID_VOLUME)
+    if budget >= n_cells:
+        # full sweep (warmup, ref: all cells while step < 256)
+        idx = jnp.arange(n_cells, dtype=jnp.int32)
+        level = idx // GRID_VOLUME
+        x, y, z = _linear_coords(idx % GRID_VOLUME)
         cell = jnp.stack([x, y, z], -1).astype(jnp.float32)
         u = jax.random.uniform(k1, (n_cells, 3))
         lv = jnp.exp2(level.astype(jnp.float32))[:, None]
         pos = ((cell + u) / NERF_GRIDSIZE - 0.5) * lv + 0.5
         warped = (pos - aabb_min) / aabb_size
-        sigma = density_fn(warped)
-        tmp = jnp.zeros((n_cells,), jnp.float32).at[flat_idx].max(
-            sigma * MIN_CONE_STEPSIZE, mode="drop")
+        splat = density_fn(warped) * MIN_CONE_STEPSIZE
         density = jnp.where(grid.density < 0.0, grid.density,
-                            jnp.maximum(grid.density * decay, tmp))
+                            jnp.maximum(grid.density * decay, splat))
         return rebuild_bitfield(grid._replace(
             density=density, ema_step=grid.ema_step + 1), max_cascade)
 
-    def sample_cells(key, n, thresh):
-        kl, kp, kr = jax.random.split(key, 3)
-        level = jax.random.randint(kl, (n,), 0, n_cascades)
-        # occupied-biased retry: try 10 pseudo-random cells, keep the first
-        # exceeding thresh (mirrors the reference's LCG probe loop).
-        base = jax.random.randint(kr, (n,), 0, GRID_VOLUME, dtype=jnp.int32)
-        idx = base
-        chosen = jnp.full((n,), -1, jnp.int32)
-        for j in range(10):
-            cand = ((base.astype(jnp.uint32) + jnp.uint32(j * 19349663))
-                    % jnp.uint32(GRID_VOLUME)).astype(jnp.int32)
-            flat = cand + level * GRID_VOLUME
-            ok = jnp.take(grid.density, flat, mode="clip") > thresh
-            chosen = jnp.where((chosen < 0) & ok, cand, chosen)
-        idx = jnp.where(chosen >= 0, chosen, idx)
-        flat_idx = idx + level * GRID_VOLUME
-        x, y, z = morton3d_invert(idx)
-        cell = jnp.stack([x, y, z], -1).astype(jnp.float32)
-        u = jax.random.uniform(kp, (n, 3))
-        lv = jnp.exp2(level.astype(jnp.float32))[:, None]
-        pos = ((cell + u) / NERF_GRIDSIZE - 0.5) * lv + 0.5
-        return pos, flat_idx
-
-    pos_u, idx_u = sample_cells(k1, n_uniform, -0.01)
-    pos_n, idx_n = sample_cells(k2, n_nonuniform, NERF_MIN_OPTICAL_THICKNESS)
-    pos = jnp.concatenate([pos_u, pos_n], 0)
-    idx = jnp.concatenate([idx_u, idx_n], 0)
-
+    # block-cyclic slab sweep: one CONTIGUOUS block of ≈budget cells per
+    # update, rotating through the grid. Contiguity matters: a strided
+    # (n, stride) view lane-pads to 128 and cost ~9 s/update on v5e; a
+    # dynamic_slice read + dynamic_update_slice write is free of any
+    # relayout/scatter/gather.
+    n_blocks = max(int(round(n_cells / budget)), 1)
+    n = -(-n_cells // n_blocks)                                # ceil div
+    block = (grid.ema_step % n_blocks) * n
+    idx = jnp.minimum(block + jnp.arange(n, dtype=jnp.int32),
+                      n_cells - 1)                             # (n,)
+    level = idx // GRID_VOLUME
+    x, y, z = _linear_coords(idx % GRID_VOLUME)
+    cell = jnp.stack([x, y, z], -1).astype(jnp.float32)
+    u = jax.random.uniform(k1, (n, 3))
+    lv = jnp.exp2(level.astype(jnp.float32))[:, None]
+    pos = ((cell + u) / NERF_GRIDSIZE - 0.5) * lv + 0.5
     warped = (pos - aabb_min) / aabb_size
-    sigma = density_fn(warped)
-    optical_thickness = sigma * MIN_CONE_STEPSIZE
+    splat = density_fn(warped) * MIN_CONE_STEPSIZE             # (n,)
 
-    tmp = jnp.zeros((n_cells,), jnp.float32).at[idx].max(
-        optical_thickness, mode="drop")
-    density = jnp.where(grid.density < 0.0, grid.density,
-                        jnp.maximum(grid.density * decay, tmp))
+    # EMA decay everywhere (ref: ema_grid_samples_nerf decays all cells),
+    # max-merge the swept slab.
+    decayed = grid.density * decay
+    slab = jax.lax.dynamic_slice(
+        jnp.pad(decayed, (0, n)), (block,), (n,))
+    merged = jnp.maximum(slab, splat)
+    new_density = jax.lax.dynamic_update_slice(
+        jnp.pad(decayed, (0, n)), merged, (block,))[:n_cells]
+    new_density = jnp.where(grid.density < 0.0, grid.density, new_density)
 
     return rebuild_bitfield(grid._replace(
-        density=density, ema_step=grid.ema_step + 1), max_cascade)
+        density=new_density, ema_step=grid.ema_step + 1), max_cascade)
 
 
 def rebuild_bitfield(grid: OccupancyGrid, max_cascade: int) -> OccupancyGrid:
     """Mean + threshold + bit packing + mip max-pool
-    (ref: update_density_grid_mean_and_bitfield)."""
+    (ref: update_density_grid_mean_and_bitfield). All reshapes/slices in
+    the linear layout — no scatter/gather."""
     level0 = grid.density[:GRID_VOLUME]
     mean = jnp.mean(jnp.maximum(level0, 0.0))
     thresh = jnp.minimum(NERF_MIN_OPTICAL_THICKNESS, mean)
 
     n_cascades = grid.density.shape[0] // GRID_VOLUME
-    occ = grid.density.reshape(n_cascades, GRID_VOLUME) > thresh  # (C, V)
-    # pack bits: Morton index i → byte i//8, bit i%8; Morton order means
-    # groups of 8 consecutive indices form a 2×2×2 block.
-    bits = occ.reshape(n_cascades, GRID_VOLUME // 8, 8)
-    weights = (1 << jnp.arange(8, dtype=jnp.uint32))[None, None, :]
-    packed = jnp.sum(bits.astype(jnp.uint32) * weights, axis=-1).astype(jnp.uint8)
-    full = jnp.zeros((NERF_CASCADES, GRID_VOLUME // 8), jnp.uint8)
-    full = full.at[:n_cascades].set(packed)
+    occ = grid.density.reshape(n_cascades, G, G, G) > thresh   # (C,z,y,x)
 
-    # mip max-pool (ref: bitfield_max_pool): the whole level-L cube maps
-    # to the center half of level L+1 — a 2×2×2 block of L-cells at block
-    # coords b (< 64) becomes the L+1 cell at b + GRIDSIZE/4, occupied if
-    # any child is.
-    occ_full = jnp.zeros((NERF_CASCADES, GRID_VOLUME), bool)
-    occ_full = occ_full.at[:n_cascades].set(occ)
-    px, py, pz = morton3d_invert(jnp.arange(GRID_VOLUME // 8, dtype=jnp.uint32))
-    pool_tgt = morton3d(px + NERF_GRIDSIZE // 4, py + NERF_GRIDSIZE // 4,
-                        pz + NERF_GRIDSIZE // 4)
+    def pack_level(cur):
+        """(128³ bool) → (64³ uint8): byte = linear block (x//2,y//2,z//2),
+        bit = x&1 | y&1<<1 | z&1<<2, as a strided weighted reduce."""
+        b = cur.reshape(GH, 2, GH, 2, GH, 2).astype(jnp.int32)
+        w = jnp.arange(2, dtype=jnp.int32)
+        weights = (jnp.int32(1) <<
+                   (w[:, None, None] * 4 + w[None, :, None] * 2
+                    + w[None, None, :]))                       # (z1,y1,x1)
+        return jnp.sum(
+            b * weights[:, None, :, None, :].reshape(1, 2, 1, 2, 1, 2),
+            axis=(1, 3, 5)).astype(jnp.uint8)                  # (GH,GH,GH)
 
-    def pool(level_occ):
-        # Morton groups of 8 consecutive indices are exactly 2×2×2 blocks.
-        child_any = level_occ.reshape(GRID_VOLUME // 8, 8).any(-1)
-        return jnp.zeros((GRID_VOLUME,), bool).at[pool_tgt].set(child_any)
-
-    def body(carry, level):
-        prev = carry
-        pooled = pool(prev)
-        cur = occ_full[level] | pooled
-        return cur, cur
-
-    _, pooled_levels = jax.lax.scan(
-        body, occ_full[0], jnp.arange(1, NERF_CASCADES))
-    all_occ = jnp.concatenate([occ_full[0:1], pooled_levels], axis=0)
-    bits = all_occ.reshape(NERF_CASCADES, GRID_VOLUME // 8, 8)
-    packed = jnp.sum(bits.astype(jnp.uint32) * weights, axis=-1).astype(jnp.uint8)
+    # mip max-pool (ref: bitfield_max_pool): the whole level-L cube maps to
+    # the center half of level L+1. The packed BYTES of level L already ARE
+    # its 2×2×2 any-pool (byte ≠ 0 ⇔ block occupied), and one level-L byte
+    # block covers exactly one level-L+1 cell at offset +G/4 — so pooling
+    # is (bytes != 0) OR'd into the center cube. No extra strided reduces.
+    q = G // 4
+    zero = jnp.zeros((G, G, G), bool)
+    packed_levels = []
+    for m in range(NERF_CASCADES):
+        cur = occ[m] if m < n_cascades else zero
+        if m > 0:
+            pooled = packed_levels[m - 1] != 0                 # (GH,)³ bool
+            cur = cur.at[q: 3 * q, q: 3 * q, q: 3 * q].set(
+                cur[q: 3 * q, q: 3 * q, q: 3 * q] | pooled)
+        packed_levels.append(pack_level(cur))
+    packed = jnp.stack(packed_levels)                          # (8,GH,GH,GH)
     return grid._replace(bitfield=packed.reshape(-1), mean=mean)

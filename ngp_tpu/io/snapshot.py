@@ -98,8 +98,11 @@ def save_snapshot(path, network_config: dict, params, ema_params,
         },
     }
     if density_grid is not None:
-        snap["density_grid_binary"] = np.asarray(
-            density_grid, np.float16).tobytes()
+        # bytes are Morton-ordered like the reference's payload
+        # (ref: cascaded_grid_idx_at); in-memory arrays are linear
+        from ngp_tpu.grid.occupancy import density_to_morton
+        snap["density_grid_binary"] = density_to_morton(
+            np.asarray(density_grid, np.float16)).tobytes()
     if aabb_min is not None:
         snap["aabb"] = {"min": [float(x) for x in np.atleast_1d(aabb_min)],
                         "max": [float(x) for x in np.atleast_1d(aabb_max)]}
@@ -127,8 +130,9 @@ def load_snapshot(path) -> dict:
             f"snapshot version {version}: neither ngp_tpu_params nor a "
             "reference params_binary payload present")
     if "density_grid_binary" in snap:
-        snap["density_grid"] = np.frombuffer(
-            snap["density_grid_binary"], np.float16).astype(np.float32)
+        from ngp_tpu.grid.occupancy import density_from_morton
+        snap["density_grid"] = density_from_morton(np.frombuffer(
+            snap["density_grid_binary"], np.float16).astype(np.float32))
     if "nerf" in snap and "dataset" in snap["nerf"]:
         snap["nerf"]["dataset"] = _unpack_tree(snap["nerf"]["dataset"])
     return doc
@@ -227,8 +231,9 @@ def export_reference_snapshot(path, network_config: dict, params,
         },
     }
     if density_grid is not None:
-        snap["density_grid_binary"] = np.asarray(
-            density_grid, np.float16).tobytes()
+        from ngp_tpu.grid.occupancy import density_to_morton
+        snap["density_grid_binary"] = density_to_morton(
+            np.asarray(density_grid, np.float16)).tobytes()
     half = aabb_scale / 2.0
     snap["aabb"] = {"min": [0.5 - half] * 3, "max": [0.5 + half] * 3}
     doc = dict(network_config)

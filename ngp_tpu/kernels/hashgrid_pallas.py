@@ -97,8 +97,9 @@ def _fwd_kernel(rows_ref, frac_ref, table_ref, out_ref, *, meta, tile):
     out_ref[0, 1, :] = f1
 
 
-def _bwd_kernel(rows_ref, frac_ref, table_ref, g_ref,
-                dtable_ref, dfrac_ref, *, meta, tile):
+def _bwd_table_kernel(rows_ref, frac_ref, g_ref, dtable_ref, *, meta, tile):
+    """dTable = one-hotᵀ · dRows — needs NO forward recompute: dA is built
+    purely from the incoming gradient and the trilinear weights."""
     D = meta.n_dims
     lane_off, bits, used = _corner_masks(D, tile)
     R = meta.rows
@@ -106,22 +107,17 @@ def _bwd_kernel(rows_ref, frac_ref, table_ref, g_ref,
     rows = rows_ref[0, 0, :].reshape(tile, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
     oh = (rows == iota_r).astype(jnp.bfloat16)
-    tbl = table_ref[0].astype(jnp.bfloat16)
-    A = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
 
     base = rows_ref[0, 1, :].reshape(tile, 1)
     idx = base + lane_off
-    G = jnp.take_along_axis(A, idx, axis=1)
 
     fracs = [frac_ref[0, d, :].reshape(tile, 1) for d in range(D)]
-    bits_j = bits
-    used_j = used
-    w = _weights_from_frac(fracs, bits_j, used_j)
+    w = _weights_from_frac(fracs, bits, used)
 
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % 2
     g0 = g_ref[0, 0, :].reshape(tile, 1)
     g1 = g_ref[0, 1, :].reshape(tile, 1)
-    gl = jnp.where(lane_f == 0, g0, g1) * used_j               # (T, 128)
+    gl = jnp.where(lane_f == 0, g0, g1) * used                 # (T, 128)
 
     # dG = w·g at corner lanes; scatter back to row-lane positions via a
     # 16-step static unroll (C·F ≤ 16 used lanes).
@@ -146,16 +142,44 @@ def _bwd_kernel(rows_ref, frac_ref, table_ref, g_ref,
 
     dtable_ref[0] += dT
 
+
+def _bwd_frac_kernel(rows_ref, frac_ref, table_ref, g_ref, dfrac_ref,
+                     *, meta, tile):
+    """Position (fraction) gradients — needs the forward corner values, so
+    it recomputes the selection matmul. Split into its OWN pallas_call so
+    XLA dead-code-eliminates it whenever position gradients are unused
+    (camera optimization off — the default training path)."""
+    D = meta.n_dims
+    lane_off, bits, used = _corner_masks(D, tile)
+    R = meta.rows
+
+    rows = rows_ref[0, 0, :].reshape(tile, 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
+    oh = (rows == iota_r).astype(jnp.bfloat16)
+    tbl = table_ref[0].astype(jnp.bfloat16)
+    A = jnp.dot(oh, tbl, preferred_element_type=jnp.float32)
+
+    base = rows_ref[0, 1, :].reshape(tile, 1)
+    idx = base + lane_off
+    G = jnp.take_along_axis(A, idx, axis=1)
+
+    fracs = [frac_ref[0, d, :].reshape(tile, 1) for d in range(D)]
+
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % 2
+    g0 = g_ref[0, 0, :].reshape(tile, 1)
+    g1 = g_ref[0, 1, :].reshape(tile, 1)
+    gl = jnp.where(lane_f == 0, g0, g1) * used                 # (T, 128)
+
     # position grads: dw/dfrac_d = ±Π_{d'≠d} w_d' (on used lanes)
     gG = gl * G                                                # d/dw
     for d in range(D):
-        prod = used_j
+        prod = used
         for dd in range(D):
             if dd == d:
                 continue
-            b = bits_j[dd]
+            b = bits[dd]
             prod = prod * (b * fracs[dd] + (1.0 - b) * (1.0 - fracs[dd]))
-        sign = bits_j[d] * 2.0 - 1.0
+        sign = bits[d] * 2.0 - 1.0
         dfrac_ref[0, d, :] = jnp.sum(gG * prod * sign, axis=1)
 
 
@@ -208,7 +232,11 @@ def _encode_fwd_impl(table, pos, meta, tile):
         compiler_params=_compiler_params(),
     )(ri, fr, table)
     feats = out[:, :, :N]                                      # (L, 2, N)
-    return feats.transpose(2, 0, 1).reshape(N, L * 2), (table, pos)
+    # keep the (cheap to store, ~80 MB at NeRF batch) geometry as residuals
+    # so the bwd pass doesn't recompute lookup_geometry on 4M points
+    pos_stub = jnp.zeros((0,), pos.dtype)   # dtype carrier (residuals must
+    return feats.transpose(2, 0, 1).reshape(N, L * 2), \
+        (table, pos_stub, ri, fr)           # be JAX types)
 
 
 def _encode_fwd(table, pos, meta, tile):
@@ -216,15 +244,32 @@ def _encode_fwd(table, pos, meta, tile):
 
 
 def _encode_bwd(meta, tile, residuals, g):
-    table, pos = residuals
+    table, pos_stub, ri, fr = residuals
     L, R, D = meta.n_levels, meta.rows, meta.n_dims
-    ri, fr, N, Np = _geometry(meta, pos, tile)
+    N, Np = g.shape[0], ri.shape[2]
     n_tiles = Np // tile
     gT = g.reshape(N, L, 2).transpose(1, 2, 0)                 # (L, 2, N)
     gT = _pad_to(gT, Np, 2)
 
-    dtable, dfrac = pl.pallas_call(
-        functools.partial(_bwd_kernel, meta=meta, tile=tile),
+    dtable = pl.pallas_call(
+        functools.partial(_bwd_table_kernel, meta=meta, tile=tile),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
+        compiler_params=_compiler_params(),
+    )(ri, fr, gT)
+
+    dfrac = pl.pallas_call(
+        functools.partial(_bwd_frac_kernel, meta=meta, tile=tile),
         grid=(L, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
@@ -236,23 +281,16 @@ def _encode_bwd(meta, tile, residuals, g):
             pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
         compiler_params=_compiler_params(),
     )(ri, fr, table, gT)
 
     # chain dfrac → dpos: frac = pos·scale + 0.5 - floor(...)
     scales = jnp.asarray(meta.level_scales, jnp.float32)
     dpos = jnp.einsum("ldn,l->nd", dfrac[:, :, :N], scales)
-    return dtable, dpos.astype(pos.dtype)
+    return dtable, dpos.astype(pos_stub.dtype)
 
 
 blocked_grid_encode.defvjp(_encode_fwd, _encode_bwd)

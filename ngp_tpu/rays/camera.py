@@ -79,3 +79,63 @@ def f_theta_undistort(xy_rel, params, default_dir):
     return jnp.stack([xy_rel[..., 0] / safe_r * sin_t,
                       xy_rel[..., 1] / safe_r * sin_t,
                       jnp.cos(theta)], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# per-ray camera interpolation (rolling shutter / motion blur)
+# --------------------------------------------------------------------------
+
+def quat_from_mat(m: jnp.ndarray) -> jnp.ndarray:
+    """(3,3) rotation → quaternion (w,x,y,z)."""
+    t = jnp.trace(m)
+    qw = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 0.5
+    qx = (m[2, 1] - m[1, 2]) / (4 * qw)
+    qy = (m[0, 2] - m[2, 0]) / (4 * qw)
+    qz = (m[1, 0] - m[0, 1]) / (4 * qw)
+    q = jnp.stack([qw, qx, qy, qz])
+    return q / jnp.linalg.norm(q)
+
+
+def quat_slerp(qa, qb, t):
+    """Short-path slerp; qa/qb (..., 4), t (N,) → (N, 4)."""
+    dot = jnp.sum(qa * qb, axis=-1)
+    qb = jnp.where(dot[..., None] < 0, -qb, qb)
+    dot = jnp.abs(dot)
+    theta = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    s = jnp.maximum(jnp.sin(theta), 1e-6)
+    w1 = jnp.sin((1 - t) * theta) / s
+    w2 = jnp.sin(t * theta) / s
+    lin = (1 - t)[..., None] * qa + t[..., None] * qb
+    sph = w1[..., None] * qa + w2[..., None] * qb
+    q = jnp.where((dot > 0.9995)[..., None], lin, sph)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
+    """(N,4) quaternion (w,x,y,z) → (N,3,3)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   2 * 0 + 1 - 2 * (x * x + y * y)], -1),
+    ], axis=-2)
+
+
+def xform_slerp(xf_a: jnp.ndarray, xf_b: jnp.ndarray, t: jnp.ndarray):
+    """Interpolate (3,4) camera matrices: translation lerp + rotation
+    slerp (ref: get_xform_given_rolling_shutter,
+    common_device.cuh:224-234). Broadcasts (3,4)+(N,) or (N,3,4)+(N,)."""
+    if xf_a.ndim == 2:
+        pos = xf_a[:, 3][None] + (xf_b[:, 3] - xf_a[:, 3])[None] * t[:, None]
+        qa = quat_from_mat(xf_a[:, :3])[None]
+        qb = quat_from_mat(xf_b[:, :3])[None]
+    else:
+        pos = xf_a[:, :, 3] + (xf_b[:, :, 3] - xf_a[:, :, 3]) * t[:, None]
+        qa = jax.vmap(quat_from_mat)(xf_a[:, :, :3])
+        qb = jax.vmap(quat_from_mat)(xf_b[:, :, :3])
+    q = quat_slerp(qa, qb, t)
+    R = quat_to_mat(q)
+    return jnp.concatenate([R, pos[:, :, None]], axis=-1)

@@ -85,26 +85,43 @@ def compact_samples(t, dt, emit, n_rays: int, capacity: int,
     ``max_per_ray`` > 0 instead keeps each ray's FIRST samples
     (front-to-back), the rendering-time behavior: a saturating ray gets
     its near field rather than being dropped.
-    Returns (t, dt, ray_id, counts, offsets, fits, total).
+    Returns (t, dt, ray_id, counts, offsets, fits, total, k_idx) where
+    k_idx is each compacted sample's lattice slot (for scattering results
+    back onto the (R, K) lattice).
     """
     S = capacity
     K = t.shape[1]
     if max_per_ray > 0:
         within = jnp.cumsum(emit.astype(jnp.int32), axis=1) <= max_per_ray
         emit = emit & within
-    flat_emit = emit.reshape(-1)
-    pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
-    total = pos_in_stream[-1] + 1
     counts = emit.sum(axis=1).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
-    fits = (offsets + counts) <= S
-    keep = flat_emit & jnp.repeat(fits, K)
-    dst = jnp.where(keep, pos_in_stream, S)
-    ray_ids = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), K)
-    s_t = jnp.zeros((S,), jnp.float32).at[dst].set(t.reshape(-1), mode="drop")
-    s_dt = jnp.zeros((S,), jnp.float32).at[dst].set(dt.reshape(-1), mode="drop")
-    s_ray = jnp.full((S,), n_rays, jnp.int32).at[dst].set(ray_ids, mode="drop")
-    return s_t, s_dt, s_ray, counts, offsets, fits, total
+    fits = (offsets + counts) <= S          # nondecreasing → prefix of rays
+    total = offsets[-1] + counts[-1]
+
+    # One flat cumsum gives each kept sample its stream slot; ONE scatter
+    # moves the per-sample lattice slot k, and everything else is derived
+    # by GATHERS (XLA TPU scatters cost ~10 ms per 4M updates; the round-1
+    # version scattered t/dt/ray separately).
+    flat_emit = (emit & fits[:, None]).reshape(-1)
+    pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
+    dst = jnp.where(flat_emit, pos_in_stream, S)
+    k_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (n_rays, K))
+    s_k = jnp.zeros((S,), jnp.int32).at[dst].set(k_ids.reshape(-1),
+                                                 mode="drop")
+
+    # ray id per slot: repeat ray r counts[r] times (prefix-contiguous);
+    # slots past the kept total get the sentinel n_rays
+    kept = jnp.where(fits, counts, 0)
+    n_kept = kept.sum()
+    s_ray = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), kept,
+                       total_repeat_length=S)
+    s_ray = jnp.where(jnp.arange(S) < n_kept, s_ray, n_rays)
+
+    rid = jnp.clip(s_ray, 0, n_rays - 1)
+    s_t = t[rid, s_k]
+    s_dt = dt[rid, s_k]
+    return s_t, s_dt, s_ray, counts, offsets, fits, total, s_k
 
 
 def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int):

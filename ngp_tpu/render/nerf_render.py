@@ -8,6 +8,16 @@ closed-form lattice + occupancy filter + compaction as training, then one
 batched network call and a segmented composite. Network output space is
 sRGB (logistic activation); compositing happens there and the background
 is blended with remaining transmittance, matching the training-time math.
+
+Round-2 rework (ref parity + throughput): pixel/ray generation and the
+spp accumulation run device-side (per-pixel jitter per sample like the
+reference's LD pixel offsets, ref: common_device.cuh:260-317), with
+per-ray rolling-shutter/motion-blur camera interpolation
+(ref: get_xform_given_rolling_shutter, common_device.cuh:224-234),
+thin-lens depth of field (ref: pixel_to_ray aperture branch), a render
+AABB crop (ref: m_render_aabb), Mask3D alpha modulation and envmap
+background (ref: composite_kernel_nerf :767-989), and the Slice /
+EncodingVis render modes (ref: :2412-2476).
 """
 from __future__ import annotations
 
@@ -19,9 +29,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.common import RenderMode, srgb_to_linear
+from ngp_tpu.common import RenderMode, TonemapCurve, srgb_to_linear
+from ngp_tpu.rays.camera import ray_aabb_intersect, xform_slerp
 from ngp_tpu.rays.marching import (compact_samples, composite_samples,
                                    march_rays)
+from ngp_tpu.render.buffer import tonemap
 
 
 @dataclasses.dataclass
@@ -41,41 +53,129 @@ class RenderOptions:
     march_steps: int = 1024
     samples_per_chunk_factor: int = 48   # per-ray sample cap per segment
     march_segments: int = 4              # early-out granularity
+    # thin-lens DoF (ref: pixel_to_ray aperture, common_device.cuh:260-317)
+    aperture_size: float = 0.0
+    focus_z: float = 1.0
+    # crop box (ref: m_render_aabb); None → full training AABB
+    render_aabb_min: Optional[tuple] = None
+    render_aabb_max: Optional[tuple] = None
+    exposure: float = 0.0
+    tonemap_curve: TonemapCurve = TonemapCurve.IDENTITY
+    snap_to_pixel_centers: bool = False  # eval protocol (ref run.py:228-241)
+    slice_plane_z: float = 0.0           # SLICE mode plane offset
+    visualized_level: int = 0            # ENCODING_VIS level
 
 
 class NerfRenderer:
     """Renders frames from a trained NeRF (model+params+occupancy grid)."""
 
     def __init__(self, model, aabb_min, aabb_size, cone_angle, max_cascade,
-                 opts: Optional[RenderOptions] = None):
+                 opts: Optional[RenderOptions] = None, masks=None,
+                 envmap_sampler=None):
         self.model = model
         self.aabb_min = aabb_min
         self.aabb_size = aabb_size
         self.cone_angle = cone_angle
         self.max_cascade = max_cascade
         self.opts = opts or RenderOptions()
+        self.masks = masks or []          # list of multi_nerf.Mask3D
+        self.envmap_sampler = envmap_sampler  # d_world (N,3) → rgba (N,4)
 
     @classmethod
-    def for_trainer(cls, trainer, opts: Optional[RenderOptions] = None):
+    def for_trainer(cls, trainer, opts: Optional[RenderOptions] = None,
+                    **kw):
         return cls(trainer.model, trainer.aabb_min, trainer.aabb_size,
-                   trainer.cone_angle, trainer.max_cascade, opts)
+                   trainer.cone_angle, trainer.max_cascade, opts, **kw)
+
+    # ------------------------------------------------------------------
+    # device-side ray generation
+    # ------------------------------------------------------------------
+
+    def _gen_rays(self, key, pix0, n_rays, W, H, fx, fy, xf_s, xf_e,
+                  rshutter, jitter_on):
+        """Pixel idx → (o, d) world rays, all on device. Applies per-pixel
+        jitter, lens undistortion, rolling-shutter/motion-blur transform
+        interpolation and thin-lens DoF."""
+        opts = self.opts
+        cx, cy = opts.principal
+        idx = pix0 + jnp.arange(n_rays, dtype=jnp.int32)
+        px = (idx % W).astype(jnp.float32)
+        py = (idx // W).astype(jnp.float32)
+        kj, kt, ka = jax.random.split(key, 3)
+        jit = jnp.where(jitter_on, jax.random.uniform(kj, (n_rays, 2)), 0.5)
+        u = (px + jit[:, 0]) / W
+        v = (py + jit[:, 1]) / H
+        dx = (u - cx) * W / fx
+        dy = (v - cy) * H / fy
+        if any(abs(p) > 0 for p in opts.lens_params):
+            from ngp_tpu.rays.camera import iterative_opencv_undistort
+            k1, k2, p1, p2 = opts.lens_params
+            dx, dy = iterative_opencv_undistort(dx, dy, k1, k2, p1, p2)
+        d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], -1)
+
+        # per-ray camera matrix: pixel_t = rs.x + rs.y·u + rs.z·v + rs.w·t
+        # (ref: get_xform_given_rolling_shutter)
+        time = jax.random.uniform(kt, (n_rays,))
+        pixel_t = jnp.clip(rshutter[0] + rshutter[1] * u + rshutter[2] * v
+                           + rshutter[3] * time, 0.0, 1.0)
+        xf = xform_slerp(xf_s, xf_e, pixel_t)                # (N, 3, 4)
+
+        o_cam = jnp.zeros((n_rays, 3))
+        if opts.aperture_size > 0.0:
+            # Shirley square→disk (ref: square2disk_shirley)
+            ab = jax.random.uniform(ka, (n_rays, 2)) * 2.0 - 1.0
+            a, b = ab[:, 0], ab[:, 1]
+            cond = jnp.abs(a) > jnp.abs(b)
+            r = jnp.where(cond, a, b)
+            phi = jnp.where(cond, (jnp.pi / 4) * (b / jnp.where(a == 0, 1, a)),
+                            (jnp.pi / 2) - (jnp.pi / 4) *
+                            (a / jnp.where(b == 0, 1, b)))
+            blur = opts.aperture_size * jnp.stack(
+                [r * jnp.cos(phi), r * jnp.sin(phi)], -1)
+            o_cam = jnp.concatenate([blur, jnp.zeros((n_rays, 1))], -1)
+            d_cam = (d_cam * opts.focus_z - o_cam) / opts.focus_z
+
+        d_world = jnp.einsum("nij,nj->ni", xf[:, :, :3], d_cam)
+        o_world = xf[:, :, 3] + jnp.einsum("nij,nj->ni", xf[:, :, :3], o_cam)
+        d_world = d_world / (jnp.linalg.norm(d_world, -1, keepdims=True)
+                             + 1e-9)
+        return o_world, d_world, u, v
 
     # ------------------------------------------------------------------
 
     @functools.cached_property
     def _render_chunk(self):
         opts = self.opts
-
         mode = opts.render_mode
+        has_crop = opts.render_aabb_min is not None
+        crop_min = jnp.asarray(opts.render_aabb_min or (0, 0, 0), jnp.float32)
+        crop_max = jnp.asarray(opts.render_aabb_max or (1, 1, 1), jnp.float32)
 
-        @functools.partial(jax.jit, static_argnames=("n_rays",))
-        def run(params, bitfield, o, d, bg, n_rays):
+        @functools.partial(jax.jit,
+                           static_argnames=("n_rays", "W", "H"))
+        def run(params, bitfield, xf_s, xf_e, rshutter, bg, key, pix0,
+                jitter_on, fx, fy, n_rays, W, H):
+            o, d, u, v = self._gen_rays(key, pix0, n_rays, W, H, fx, fy,
+                                        xf_s, xf_e, rshutter, jitter_on)
+            if mode == RenderMode.SLICE:
+                return self._slice_mode(params, o, d, xf_s, bg, n_rays)
+
             per_ray = opts.samples_per_chunk_factor
             S = opts.chunk * per_ray
             t, dt, emit = march_rays(
                 bitfield, o, d, None, n_rays, opts.march_steps,
                 self.cone_angle, self.max_cascade,
                 self.aabb_min, self.aabb_size, t_start_min=0.05)
+            if has_crop:
+                ct0, ct1 = ray_aabb_intersect(o, d, crop_min, crop_max)
+                emit = emit & (t >= ct0[:, None]) & (t <= ct1[:, None])
+
+            # env-map or constant background per ray
+            if self.envmap_sampler is not None:
+                env = self.envmap_sampler(d)
+                bg_ray = env[:, :3] + bg[None, :3] * (1.0 - env[:, 3:4])
+            else:
+                bg_ray = jnp.broadcast_to(bg[None, :3], (n_rays, 3))
 
             # Segmented front-to-back evaluation with transmittance
             # early-out: saturated rays stop consuming network evals in
@@ -92,7 +192,7 @@ class NerfRenderer:
                 sl = slice(si * seg_len, (si + 1) * seg_len)
                 alive = jnp.exp(-logT) > opts.min_transmittance
                 emit_s = emit[:, sl] & alive[:, None]
-                s_t, s_dt, s_ray, counts, offsets, fits, tot = \
+                s_t, s_dt, s_ray, counts, offsets, fits, tot, _ = \
                     compact_samples(t[:, sl], dt[:, sl], emit_s, n_rays,
                                     S, max_per_ray=per_ray)
                 total = total + tot
@@ -109,6 +209,16 @@ class NerfRenderer:
                                                 keepdims=True) + 1e-9)
                     _, dens_raw = self.model.apply(params, pos_w, dir_w)
                     rgb = nrm * 0.5 + 0.5
+                elif mode == RenderMode.ENCODING_VIS:
+                    # visualize |features| of one hash level at the sample
+                    # (ref: visualize_activation / EncodingVis)
+                    feats = self.model.pos_encoding.apply(
+                        params["pos_encoding"], pos_w)
+                    lvl = opts.visualized_level
+                    f = feats[:, 2 * lvl: 2 * lvl + 2].astype(jnp.float32)
+                    rgb = jnp.stack([jnp.abs(f[:, 0]), jnp.abs(f[:, 1]),
+                                     jnp.abs(f).mean(-1)], -1) * 16.0
+                    _, dens_raw = self.model.apply(params, pos_w, dir_w)
                 else:
                     rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
                     rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
@@ -116,8 +226,19 @@ class NerfRenderer:
                     rgb = pos_w
                 sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
                                          -15., 15.))
+                s_dt_eff = s_dt
+                if self.masks:
+                    # Mask3D alpha modulation: α' = m·α, folded exactly
+                    # into the optical depth: σΔt' = -log(1 - m·(1-e^{-σΔt}))
+                    # (ref: composite_kernel_nerf mask sampling)
+                    from ngp_tpu.render.multi_nerf import apply_masks
+                    m = apply_masks(self.masks, pos)
+                    alpha = 1.0 - jnp.exp(-sigma * s_dt)
+                    s_dt_eff = -jnp.log1p(-jnp.clip(m * alpha, 0.0,
+                                                    1.0 - 1e-7)) / \
+                        jnp.maximum(sigma, 1e-10)
                 rgb_seg, opac_seg, w = composite_samples(
-                    sigma, rgb, s_dt, s_ray, offsets, counts, n_rays)
+                    sigma, rgb, s_dt_eff, s_ray, offsets, counts, n_rays)
                 T_in = jnp.exp(-logT)
                 rgb_acc = rgb_acc + T_in[:, None] * rgb_seg
                 depth_acc = depth_acc + T_in * jnp.zeros(
@@ -126,7 +247,7 @@ class NerfRenderer:
                 logT = logT - jnp.log(jnp.maximum(1.0 - opac_seg, 1e-10))
 
             opacity = 1.0 - jnp.exp(-logT)
-            rgb_out = rgb_acc + (1.0 - opacity)[:, None] * bg[None, :3]
+            rgb_out = rgb_acc + jnp.exp(-logT)[:, None] * bg_ray
             if mode == RenderMode.DEPTH:
                 rgb_out = jnp.repeat(
                     (depth_acc / jnp.maximum(opacity, 1e-6))[:, None], 3, 1)
@@ -138,71 +259,84 @@ class NerfRenderer:
 
         return run
 
+    def _slice_mode(self, params, o, d, xf, bg, n_rays):
+        """SLICE: evaluate rgbσ on the plane through the scene center
+        offset by slice_plane_z along the camera forward axis; no
+        marching (ref: testbed_nerf.cu:2412-2476)."""
+        opts = self.opts
+        fwd = xf[:, 2]
+        center = jnp.asarray([0.5, 0.5, 0.5]) + opts.slice_plane_z * fwd
+        denom = d @ fwd
+        tp = ((center - o) @ fwd) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6,
+                                              denom)
+        pos = o + tp[:, None] * d
+        pos_w = (pos - self.aabb_min) / self.aabb_size
+        inside = jnp.all((pos_w >= 0) & (pos_w <= 1), -1) & (tp > 0)
+        rgb_raw, dens_raw = self.model.apply(params, pos_w, d * 0.5 + 0.5)
+        rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+        sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32), -15., 15.))
+        alpha = jnp.where(inside, 1.0 - jnp.exp(-sigma * 0.01), 0.0)
+        rgb_out = rgb * alpha[:, None] + bg[None, :3] * (1 - alpha[:, None])
+        return rgb_out, alpha, tp, jnp.zeros((), jnp.int32)
+
+    # ------------------------------------------------------------------
+
     def render(self, params, bitfield, camera_matrix: np.ndarray,
                width: Optional[int] = None, height: Optional[int] = None,
                focal: Optional[tuple] = None, spp: Optional[int] = None,
-               seed: int = 0) -> np.ndarray:
+               seed: int = 0, camera_matrix_end=None,
+               rolling_shutter=(0.0, 0.0, 0.0, 1.0)) -> np.ndarray:
         """Render one frame → (H, W, 4) float32.
 
-        camera_matrix: (3,4) NGP-convention camera→world.
-        Output RGB is in the network's sRGB space converted to linear if
+        camera_matrix: (3,4) NGP-convention camera→world; when
+        ``camera_matrix_end`` differs, per-ray transforms interpolate
+        between them with the ``rolling_shutter`` (x0, y-row, x-col,
+        motion-time) weights like the reference renderer.
+        Output RGB is the network's sRGB converted to linear if
         opts.linear_out (matching render_to_cpu + run.py eval protocol).
         """
         opts = self.opts
-        W = width or opts.width
-        H = height or opts.height
-        # don't pad tiny frames up to a huge chunk (CPU/eval cost)
+        W = int(width or opts.width)
+        H = int(height or opts.height)
         eff_chunk = min(opts.chunk, max(((W * H + 255) // 256) * 256, 256))
-        fx = (focal or (opts.fov_axis_focal,
-                        opts.focal_y or opts.fov_axis_focal))[0]
-        fy = (focal or (opts.fov_axis_focal,
-                        opts.focal_y or opts.fov_axis_focal))[1]
-        n_spp = spp or opts.spp
-        cx, cy = opts.principal
+        fx = float((focal or (opts.fov_axis_focal,
+                              opts.focal_y or opts.fov_axis_focal))[0])
+        fy = float((focal or (opts.fov_axis_focal,
+                              opts.focal_y or opts.fov_axis_focal))[1])
+        n_spp = int(spp or opts.spp)
 
-        xf = jnp.asarray(camera_matrix, jnp.float32)
-        acc = np.zeros((H * W, 4), np.float32)
-        rng = np.random.default_rng(seed)
+        xf_s = jnp.asarray(camera_matrix, jnp.float32)
+        xf_e = jnp.asarray(camera_matrix if camera_matrix_end is None
+                           else camera_matrix_end, jnp.float32)
+        rsh = jnp.asarray(rolling_shutter, jnp.float32)
+        bg = jnp.asarray(opts.background, jnp.float32)
+        key = jax.random.PRNGKey(seed)
+
+        acc = jnp.zeros((H * W, 4), jnp.float32)
+        n_chunks = -(-H * W // eff_chunk)
         for s in range(n_spp):
-            # pixel sample offsets (center for spp=1, jittered after)
-            off = 0.5 if n_spp == 1 or s == 0 else rng.random(2)
-            ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
-            u = (xs.reshape(-1) + off if np.isscalar(off) else
-                 xs.reshape(-1) + off[0]) / W
-            v = (ys.reshape(-1) + (off if np.isscalar(off) else off[1])) / H
-            dx = (u - cx) * W / fx
-            dy = (v - cy) * H / fy
-            if any(abs(p) > 0 for p in opts.lens_params):
-                # iterative OpenCV undistortion, matching training rays
-                # (ref: render path honors lens when
-                # render_with_lens_distortion is set)
-                from ngp_tpu.rays.camera import iterative_opencv_undistort
-                import jax.numpy as _jnp
-                k1, k2, p1, p2 = opts.lens_params
-                ddx, ddy = iterative_opencv_undistort(
-                    _jnp.asarray(dx), _jnp.asarray(dy), k1, k2, p1, p2)
-                dx, dy = np.asarray(ddx), np.asarray(ddy)
-            dirs = np.stack([dx, dy, np.ones_like(u)], -1).astype(np.float32)
-            frame = np.zeros((H * W, 4), np.float32)
-            bg = jnp.asarray(opts.background, jnp.float32)
-            for i in range(0, H * W, eff_chunk):
-                sl = slice(i, min(i + eff_chunk, H * W))
-                n = sl.stop - sl.start
-                pad = eff_chunk - n
-                dchunk = np.pad(dirs[sl], ((0, pad), (0, 0)))
-                d_world = dchunk @ np.asarray(camera_matrix[:, :3]).T
-                d_world /= np.linalg.norm(d_world, axis=-1, keepdims=True) + 1e-9
-                o = np.broadcast_to(np.asarray(camera_matrix[:, 3]),
-                                    (eff_chunk, 3))
-                rgb, opacity, depth, _ = self._render_chunk(
-                    params, bitfield, jnp.asarray(o), jnp.asarray(d_world),
-                    bg, eff_chunk)
-                out = np.concatenate([np.asarray(rgb),
-                                      np.asarray(opacity)[:, None]], -1)
-                frame[sl] = out[:n]
-            acc = (acc * s + frame) / (s + 1)
+            # first sample at pixel centers, later samples jittered
+            # per-pixel (ref: LD pixel offsets per spp)
+            jitter_on = jnp.asarray(
+                (s > 0) and not opts.snap_to_pixel_centers)
+            frame = jnp.zeros((n_chunks * eff_chunk, 4), jnp.float32)
+            for c in range(n_chunks):
+                kc = jax.random.fold_in(key, s * n_chunks + c)
+                rgb, opac, _, _ = self._render_chunk(
+                    params, bitfield, xf_s, xf_e, rsh, bg, kc,
+                    c * eff_chunk, jitter_on, fx, fy, eff_chunk, W, H)
+                frame = jax.lax.dynamic_update_slice(
+                    frame, jnp.concatenate([rgb, opac[:, None]], -1),
+                    (c * eff_chunk, 0))
+            acc = (acc * s + frame[: H * W]) / (s + 1)
+
         img = acc.reshape(H, W, 4)
+        rgb = img[..., :3]
+        if opts.exposure != 0.0:
+            rgb = rgb * (2.0 ** opts.exposure)
+        if opts.tonemap_curve != TonemapCurve.IDENTITY:
+            rgb = tonemap(jnp.maximum(rgb, 0.0), opts.tonemap_curve)
         if opts.linear_out:
-            rgb_lin = np.asarray(srgb_to_linear(jnp.asarray(img[..., :3])))
-            img = np.concatenate([rgb_lin, img[..., 3:]], -1)
-        return img
+            rgb = srgb_to_linear(jnp.clip(rgb, 0.0, None))
+        return np.asarray(jnp.concatenate([rgb, img[..., 3:]], -1),
+                          np.float32)

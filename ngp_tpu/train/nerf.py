@@ -144,12 +144,19 @@ class NerfTrainer:
         # copy). Bundled as a pytree passed INTO the jitted step — a
         # closure capture would embed the image tensor as an HLO constant
         # (hundreds of MB in the serialized module).
+        # rolling shutter: per-ray slerp between start/end extrinsics when
+        # the dataset carries distinct transform_matrix_start/end
+        # (ref: generate_training_samples_nerf :1085-1260)
+        has_rs = dataset.xforms_end is not None and \
+            not np.allclose(dataset.xforms, dataset.xforms_end)
         self.data = {
             "images": jnp.asarray(dataset.images, jnp.float16),
             **({"rays": jnp.asarray(dataset.rays)}
                if dataset.rays is not None else {}),
             **({"depths": jnp.asarray(dataset.depth_images, jnp.float32)}
                if dataset.depth_images is not None else {}),
+            **({"xforms_end": jnp.asarray(dataset.xforms_end)}
+               if has_rs else {}),
             "xforms": jnp.asarray(dataset.xforms),
             "focal": jnp.asarray(dataset.focal),
             "principal": jnp.asarray(dataset.principal),
@@ -187,6 +194,7 @@ class NerfTrainer:
 
         self.training_step = 0
         self.loss_scalar_ema = 0.0
+        self._chunk_fns = {}  # (n_rays, T) → jitted scan-of-T-steps
         # error-map CDF rebuild cadence grows ×1.5 after each rebuild
         # (ref: testbed_nerf.cu:3022)
         self._error_map_interval = float(
@@ -282,13 +290,16 @@ class NerfTrainer:
         eye = jnp.eye(3)
         return eye + st * K + (1 - ct) * (K @ K)
 
-    def _build_rays(self, data, cam, img, xy):
+    def _build_rays(self, data, cam, img, xy, time=None):
         """World rays from pixels, with differentiable pose/focal deltas
         (the reference routes these gradients through hand-written kernels
         + a host Adam, ref: compute_cam_gradient_train_nerf)."""
         tc = self.tcfg
         res = data["resolution"][img]
         xf = data["xforms"][img]
+        if "xforms_end" in data and time is not None:
+            from ngp_tpu.rays.camera import xform_slerp
+            xf = xform_slerp(xf, data["xforms_end"][img], time)
         if tc.optimize_extrinsics:
             R = self._rodrigues(cam["rot"][img])
             rot = jnp.einsum("nij,njk->nik", R, xf[:, :, :3])
@@ -342,11 +353,14 @@ class NerfTrainer:
         tc = self.tcfg
         S = tc.target_batch_size
         E = max(self.dataset.n_extra_learnable_dims, 1)
-        k_ray, k_march, k_bg, key = jax.random.split(key, 4)
+        k_ray, k_march, k_bg, k_time, key = jax.random.split(key, 5)
 
         img, xy, texsamp, samp_pdf = self._sample_pixels(
             data, error_state, k_ray, n_rays)
-        o0, d0, dnorm0 = self._build_rays(data, cam, img, xy)
+        # motion-blur time for rolling-shutter datasets (ref: :1085-1100)
+        rs_time = jax.random.uniform(k_time, (n_rays,)) \
+            if "xforms_end" in data else None
+        o0, d0, dnorm0 = self._build_rays(data, cam, img, xy, time=rs_time)
         # per-ray depth target in ray-distance units; ≤0 disables
         # (ref: target_depth at :1450)
         if tc.depth_supervision_lambda > 0.0 and "depths" in data:
@@ -359,7 +373,7 @@ class NerfTrainer:
         t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)
         # masked-away pixels (negative red sentinel) never train
         emit = emit & (texsamp[:, 0] >= 0.0)[:, None]
-        s_t, s_dt, s_ray, counts, offsets, fits, total = self._compact(
+        s_t, s_dt, s_ray, counts, offsets, fits, total, _ = self._compact(
             t, dt, emit, n_rays)
         rid = jnp.clip(s_ray, 0, n_rays - 1)
 
@@ -383,7 +397,8 @@ class NerfTrainer:
             # ref: compute_cam_gradient_train_nerf); the march's sample
             # times/compaction stay fixed (piecewise-constant sampling).
             if train_cam:
-                o, d, _ = self._build_rays(data, cam_p, img, xy)
+                o, d, _ = self._build_rays(data, cam_p, img, xy,
+                                           time=rs_time)
             else:
                 o, d = o0, d0
             s_pos = o[rid] + s_t[:, None] * d[rid]
@@ -573,12 +588,61 @@ class NerfTrainer:
         cdf_img = jnp.cumsum(img_w) / img_w.sum()
         return {"cdf_x": cdf_x, "cdf_y": cdf_y, "cdf_img": cdf_img}
 
+    def _fetch_stats(self, loss_dev, measured_dev, n_rays):
+        """Sync stats to host + rays/batch adaptation
+        (ref: NerfCounters::update_after_training)."""
+        tc = self.tcfg
+        loss = float(loss_dev)
+        self.last_loss = loss
+        measured = int(measured_dev)
+        if measured > 0:
+            ideal = n_rays * tc.target_batch_size / measured
+            new_rays = 1 << int(round(math.log2(max(ideal, 256))))
+            self.tcfg.n_rays = int(min(new_rays, 1 << 18))
+        return loss
+
+    def _chunk_fn(self, n_rays: int, T: int):
+        """jit'd scan of T training steps — ONE dispatch per chunk. The
+        per-step dispatch through the TPU tunnel costs ~400 ms of pure
+        overhead (measured round 2: 250 ms/step inside a scan vs ~670
+        dispatched singly), so the inner loop must live under one jit
+        (the XLA idiom: no host round trips inside the hot loop)."""
+        fn = self._chunk_fns.get((n_rays, T))
+        if fn is not None:
+            return fn
+
+        def chunk(params, opt_state, cam, cam_m, cam_v, error_map,
+                  err_state, bitfield, grid_mean, key, data):
+            def body(c, _):
+                p, o, cm, m, v, em, k = c
+                p, o, cm, m, v, em, stats, k = self._train_step_impl(
+                    p, o, cm, m, v, em, err_state, bitfield, grid_mean,
+                    k, data, n_rays=n_rays)
+                return (p, o, cm, m, v, em, k), \
+                    (stats.loss, stats.measured_samples)
+            c0 = (params, opt_state, cam, cam_m, cam_v, error_map, key)
+            c, (losses, measured) = jax.lax.scan(body, c0, None, length=T)
+            return c + (losses.mean(), measured[-1])
+
+        fn = jax.jit(chunk, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._chunk_fns[(n_rays, T)] = fn
+        return fn
+
     def train(self, n_steps: int) -> float:
         tc = self.tcfg
-        loss = 0.0
+        loss = self.last_loss if hasattr(self, "last_loss") else 0.0
         err_state = self._error_state()
-        for _ in range(n_steps):
-            if self.training_step % tc.n_steps_between_grid_updates == 0:
+        pending = None          # (loss_dev, measured_dev, n_rays)
+        remaining = n_steps
+        cadence = tc.n_steps_between_grid_updates
+        while remaining > 0:
+            if self.training_step % cadence == 0:
+                # stats sync + rays/batch adaptation ride the grid-update
+                # boundary (the reference adapts every step, but after
+                # warmup the power-of-2 ray count virtually never changes)
+                if pending is not None:
+                    loss = self._fetch_stats(*pending)
+                    pending = None
                 self.key, k = jax.random.split(self.key)
                 self.grid = self._grid_update(
                     self.params, self.grid, k,
@@ -590,28 +654,20 @@ class NerfTrainer:
                 err_state = self._error_state()
                 self._steps_since_error_map_update = 0
                 self._error_map_interval *= 1.5
+            k_chunk = min(cadence - self.training_step % cadence, remaining)
             n_rays = self.tcfg.n_rays
-            fn = self._step_fns.get(n_rays)
-            if fn is None:
-                fn = jax.jit(functools.partial(self._train_step_impl,
-                                               n_rays=n_rays),
-                             donate_argnums=(0, 1, 2, 3, 4, 5))
-                self._step_fns[n_rays] = fn
+            fn = self._chunk_fn(n_rays, k_chunk)
             (self.params, self.opt_state, self.cam_params, self.cam_m,
-             self.cam_v, self.error_map, stats, self.key) = fn(
+             self.cam_v, self.error_map, self.key, loss_dev, measured) = fn(
                 self.params, self.opt_state, self.cam_params, self.cam_m,
                 self.cam_v, self.error_map, err_state, self.grid.bitfield,
                 self.grid.mean, self.key, self.data)
-            self.training_step += 1
-            self._steps_since_error_map_update += 1
-            loss = float(stats.loss)
-            self.last_loss = loss
-            # rays/batch adaptation (ref: NerfCounters::update_after_training)
-            measured = int(stats.measured_samples)
-            if measured > 0:
-                ideal = n_rays * tc.target_batch_size / measured
-                new_rays = 1 << int(round(math.log2(max(ideal, 256))))
-                self.tcfg.n_rays = int(min(new_rays, 1 << 18))
+            pending = (loss_dev, measured, n_rays)
+            self.training_step += k_chunk
+            self._steps_since_error_map_update += k_chunk
+            remaining -= k_chunk
+        if pending is not None:
+            loss = self._fetch_stats(*pending)
         return loss
 
     def get_camera_extrinsics(self, img: int):

@@ -97,7 +97,7 @@ def main():
         t, dt, emit = march_rays(bitfield, o, d, k2, R, K,
                                  tr.cone_angle, tr.max_cascade,
                                  tr.aabb_min, tr.aabb_size)
-        s_t, s_dt, s_ray, counts, offsets, fits, total = compact_samples(
+        s_t, s_dt, s_ray, counts, offsets, fits, total, _ = compact_samples(
             t, dt, emit, R, S)
         return s_t.sum() + s_dt.sum() + total.astype(jnp.float32)
     dt_mc = timed(scanner(do_compact, None), jnp.float32(1.0), k=args.k)

@@ -52,7 +52,7 @@ def test_compaction_preserves_ray_major_order():
     emit = jnp.asarray(rng.random((R, K)) > 0.5)
     t = jnp.asarray(np.arange(R * K, dtype=np.float32).reshape(R, K))
     dt = t * 0.1
-    s_t, s_dt, s_ray, counts, offsets, fits, total = compact_samples(
+    s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = compact_samples(
         t, dt, emit, R, 32)
     s_t, s_ray = np.asarray(s_t), np.asarray(s_ray)
     n = int(total)
@@ -68,7 +68,7 @@ def test_compaction_overflow_drops_suffix_rays():
     R, K = 4, 8
     emit = jnp.ones((R, K), bool)
     t = jnp.zeros((R, K))
-    s_t, s_dt, s_ray, counts, offsets, fits, total = compact_samples(
+    s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = compact_samples(
         t, t, emit, R, 20)  # capacity 20 < 32 → rays 0,1 fit (16), ray 2 not
     fits = np.asarray(fits)
     assert fits.tolist() == [True, True, False, False]
@@ -111,9 +111,9 @@ def test_occupancy_bitfield_lookup():
                                         rebuild_bitfield, occupied_at,
                                         GRID_VOLUME)
     grid = init_grid(0)
-    # occupy one known cell at level 0: center cell (64,64,64)
-    m = int(np.asarray(morton3d(jnp.asarray([64]), jnp.asarray([64]),
-                                jnp.asarray([64])))[0])
+    # occupy one known cell at level 0: center cell (64,64,64) — linear
+    # (z,y,x) layout
+    m = (64 * 128 + 64) * 128 + 64
     density = grid.density.at[m].set(1.0)
     grid = rebuild_bitfield(grid._replace(density=density), 0)
     pos = jnp.asarray([[64.5 / 128, 64.5 / 128, 64.5 / 128],

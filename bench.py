@@ -15,7 +15,7 @@ import json
 import subprocess
 import sys
 
-PROBE_TIMEOUT_S = 150
+PROBE_TIMEOUT_S = 240
 TIMEOUT_S = 1380
 TARGET_DB = 30.0
 TARGET_SECONDS = 60.0

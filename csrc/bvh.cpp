@@ -262,7 +262,40 @@ void* bvh_build(const float* vertices, int64_t n_vertices,
 
 void bvh_free(void* handle) { delete (Bvh*)handle; }
 
-// mode 0 = watertight (pseudonormal), 1 = raystab parity
+// xorshift64* — deterministic per-point RNG for PathEscape
+static inline float rng01(uint64_t* s) {
+  *s ^= *s >> 12;
+  *s ^= *s << 25;
+  *s ^= *s >> 27;
+  return (float)(((*s * 0x2545F4914F6CDD1Dull) >> 40) & 0xFFFFFF) /
+         16777216.0f;
+}
+
+static inline V3 random_sphere_dir(uint64_t* s) {
+  float z = rng01(s) * 2.0f - 1.0f;
+  float phi = rng01(s) * 6.28318530718f;
+  float r = std::sqrt(std::max(0.0f, 1.0f - z * z));
+  return v3(r * std::cos(phi), r * std::sin(phi), z);
+}
+
+// cosine-weighted hemisphere around n (ref: random_dir_cosine + Onb,
+// src/optix/pathescape.cu:31-56)
+static inline V3 cosine_dir(V3 n, uint64_t* s) {
+  float u1 = rng01(s), u2 = rng01(s);
+  float r = std::sqrt(u1), phi = 6.28318530718f * u2;
+  float x = r * std::cos(phi), y = r * std::sin(phi);
+  float z = std::sqrt(std::max(0.0f, 1.0f - u1));
+  V3 bin = std::fabs(n.x) > std::fabs(n.z) ? v3(-n.y, n.x, 0.0f)
+                                           : v3(0.0f, -n.z, n.y);
+  float l = std::sqrt(len2(bin));
+  bin = bin * (1.0f / (l > 0 ? l : 1.0f));
+  V3 tan = cross(bin, n);
+  return tan * x + bin * y + n * z;
+}
+
+// mode 0 = watertight (pseudonormal), 1 = raystab parity,
+// 2 = PathEscape (ref: src/optix/pathescape.cu — 32 random-walk paths of
+//     up to 4 cosine bounces; >2 escaped paths => outside)
 void bvh_signed_distance(void* handle, const float* points, int64_t n,
                          float* out, int mode) {
   const Bvh& bvh = *(const Bvh*)handle;
@@ -278,6 +311,31 @@ void bvh_signed_distance(void* handle, const float* points, int64_t n,
         const Tri& t = bvh.tris[best.tri];
         V3 nrm = cross(t.b - t.a, t.c - t.a);
         sign = dot(p - best.point, nrm) >= 0 ? 1.0f : -1.0f;
+      } else if (mode == 2) {
+        uint64_t seed = 0x9E3779B97F4A7C15ull ^ (uint64_t)(i + 1);
+        int n_escaped = 0;
+        for (int path = 0; path < 32 && n_escaped <= 2; path++) {
+          V3 o2 = p;
+          V3 dir = random_sphere_dir(&seed);
+          for (int b = 0; b < 4; b++) {
+            int cnt = 0;
+            float closest = 1e30f;
+            int ctri = -1;
+            ray_all(bvh, o2, dir, 0, &cnt, &closest, &ctri, /*prune=*/true);
+            if (ctri < 0) {
+              n_escaped++;
+              break;
+            }
+            const Tri& t = bvh.tris[ctri];
+            V3 nrm = cross(t.b - t.a, t.c - t.a);
+            float l = std::sqrt(len2(nrm));
+            if (l > 0) nrm = nrm * (1.0f / l);
+            if (dot(nrm, dir) > 0) nrm = nrm * -1.0f;  // faceforward
+            o2 = o2 + dir * std::max(0.0f, closest - 1e-3f);
+            dir = cosine_dir(nrm, &seed);
+          }
+        }
+        sign = n_escaped > 2 ? 1.0f : -1.0f;
       } else {
         int inside_votes = 0;
         for (const V3& dir : dirs) {

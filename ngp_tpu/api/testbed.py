@@ -23,6 +23,15 @@ from ngp_tpu.common import (EmaMeter, TestbedMode, TonemapCurve, ColorSpace,
 from ngp_tpu.config import default_config_path, load_network_config
 
 
+def _resample(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-index resample of (H, W, C) to (height, width, C)."""
+    if img.shape[0] == height and img.shape[1] == width:
+        return img.copy()
+    yi = (np.arange(height) * img.shape[0] // height)
+    xi = (np.arange(width) * img.shape[1] // width)
+    return img[yi][:, xi].copy()
+
+
 def mode_from_scene(path) -> Optional[TestbedMode]:
     """Infer the testbed mode from a path (ref: main.cu:142-150 +
     Testbed::handle_file, src/testbed.cu:163-194)."""
@@ -76,6 +85,7 @@ class Testbed:
         self.fixed_res_factor = 1.0
         self.render_groundtruth = False
         self.groundtruth_render_mode = 0
+        self.ground_truth_alpha = 1.0   # ref: m_ground_truth_alpha
         self.snap_to_pixel_centers = False
         self.render_near_distance = 0.0
         self.camera_matrix = np.eye(4, dtype=np.float32)[:3]
@@ -97,6 +107,8 @@ class Testbed:
                 density_grid_decay=0.95, depth_supervision_lambda=0.0,
                 sample_image_proportional_to_error=False,
                 sample_focal_plane_proportional_to_error=False,
+                render_error_overlay=False,
+                error_overlay_brightness=0.125,
                 n_images_for_training=0, dataset=None,
                 world_scale=None, world_offset=None),
             render_with_lens_distortion=False,
@@ -191,7 +203,8 @@ class Testbed:
         elif mode == TestbedMode.SDF:
             from ngp_tpu.train.sdf import SdfTrainer
             self.trainer = SdfTrainer(path, cfg,
-                                      batch_size=self.training_batch_size)
+                                      batch_size=self.training_batch_size,
+                                      sign_mode=int(self.sdf.mesh_sdf_mode))
             self.sdf.mesh_scale = self.trainer.mesh_scale
         elif mode == TestbedMode.VOLUME:
             from ngp_tpu.train.volume import VolumeTrainer
@@ -264,16 +277,30 @@ class Testbed:
             kf = self.camera_path.eval(start_time)
             self.camera_matrix = kf.to_matrix()
         if self.render_groundtruth and self.mode == TestbedMode.NERF:
-            # GT overlay (ref: render_frame GT path, src/testbed.cu:2856):
-            # show the training image of the closest training view
+            # GT overlay (ref: overlay_image/overlay_depth,
+            # src/testbed.cu:2856-2885): alpha-blend the training image of
+            # the nearest view (with exposure) over the render
             ds = self.nerf.training.dataset
             d = np.linalg.norm(ds.xforms[:, :, 3] -
                                self.camera_matrix[:, 3][None], axis=1)
-            img = ds.images[int(np.argmin(d))].astype(np.float32)
-            if img.shape[0] != height or img.shape[1] != width:
-                yi = (np.arange(height) * img.shape[0] // height)
-                xi = (np.arange(width) * img.shape[1] // width)
-                img = img[yi][:, xi]
+            view = int(np.argmin(d))
+            if int(self.groundtruth_render_mode) == 1 and \
+                    ds.depth_images is not None:       # Depth GT
+                dep = ds.depth_images[view].astype(np.float32)
+                dep = _resample(dep[..., None], height, width)
+                img = np.concatenate([np.repeat(dep, 3, -1),
+                                      np.ones_like(dep)], -1)
+            else:
+                img = _resample(ds.images[view].astype(np.float32),
+                                height, width)
+                img[..., :3] *= 2.0 ** self.exposure
+            a = float(getattr(self, "ground_truth_alpha", 1.0))
+            if a < 1.0:
+                under = self.render_groundtruth_off_frame(
+                    width, height, spp, linear)
+                img = a * img + (1.0 - a) * under
+            if getattr(self.nerf.training, "render_error_overlay", False):
+                img[..., :3] = self._error_overlay(view, height, width)
             return img
         if self.mode == TestbedMode.IMAGE:
             img = self.trainer.render(width, height, linear=linear)
@@ -332,6 +359,31 @@ class Testbed:
                 img = np.concatenate([rgb, img[..., 3:]], -1)
             return img
         raise ValueError(f"render unsupported for mode {self.mode}")
+
+    def render_groundtruth_off_frame(self, width, height, spp, linear):
+        """The plain render, used as the blend base for ground_truth_alpha
+        < 1 (ref: overlay alpha blending)."""
+        prev = self.render_groundtruth
+        self.render_groundtruth = False
+        try:
+            return self.render(width, height, spp=spp, linear=linear)
+        finally:
+            self.render_groundtruth = prev
+
+    def _error_overlay(self, view: int, height: int, width: int):
+        """False-color overlay of the accumulated error map
+        (ref: overlay_false_color, src/testbed.cu:2888-2907)."""
+        err = np.asarray(self.trainer.error_map[view], np.float32)
+        avg = max(float(np.maximum(err, 0).mean()), 1e-12)
+        bright = float(getattr(self.nerf.training,
+                               "error_overlay_brightness", 0.125))
+        v = np.clip(err / avg * bright, 0.0, 1.0)
+        v = _resample(v[..., None], height, width)[..., 0]
+        # blue → green → red heat ramp
+        rgb = np.stack([np.clip(2 * v - 1, 0, 1),
+                        1.0 - np.abs(2 * v - 1),
+                        np.clip(1 - 2 * v, 0, 1)], -1)
+        return rgb
 
     def _nerf_renderer(self, width: int, height: int):
         """Renderer cache keyed by the option set (each distinct option
@@ -419,8 +471,10 @@ class Testbed:
     def calculate_iou(self, n_samples: int = 128 * 1024 * 1024,
                       scale_existing_results_factor: float = 0.0,
                       blocks: int = 1, mode=None) -> float:
-        n = min(n_samples, 1 << 22)
-        return self.trainer.calculate_iou(n_samples=n)
+        """Sign-agreement IoU at the reference's full sample count
+        (ref: src/testbed_sdf.cu:1269 — up to 128M samples; the trainer
+        evaluates in chunks so this scales to the full count)."""
+        return self.trainer.calculate_iou(n_samples=int(n_samples))
 
     # -- snapshot / camera path ----------------------------------------------
 

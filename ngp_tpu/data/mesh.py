@@ -106,6 +106,7 @@ class TriangleBvh:
 
     MODE_WATERTIGHT = 0
     MODE_RAYSTAB = 1
+    MODE_PATHESCAPE = 2  # random-walk escape (ref: optix/pathescape.cu)
 
     def __init__(self, vertices: np.ndarray, faces: np.ndarray):
         self.vertices = np.ascontiguousarray(vertices, np.float32)

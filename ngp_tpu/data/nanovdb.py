@@ -134,6 +134,23 @@ class VolumeGrid:
                     np.asarray(self.dense.shape) - 1).astype(np.int32)
         return self.dense[i[:, 0], i[:, 1], i[:, 2]]
 
+    def occupancy_dense_128(self, threshold: float = 1e-3) -> np.ndarray:
+        """(128,128,128) bool occupancy in normalized volume coords
+        (x, y, z indexing) — the renderer's early-skip majorant mask
+        (ref: bitgrid in load_volume / render_volume)."""
+        xs, ys, zs = np.nonzero(self.dense > threshold)
+        idx = np.stack([xs, ys, zs], -1) + self.index_bbox_min
+        f = ((idx + 0.5) - self.world2index_offset) / self.world2index_scale
+        cell = np.clip((f * 128).astype(np.int32), 0, 127)
+        occ = np.zeros((128, 128, 128), bool)
+        occ[cell[:, 0], cell[:, 1], cell[:, 2]] = True
+        # dilate one cell so boundary samples never cull true content
+        # (conservative majorant)
+        d = occ.copy()
+        for ax in range(3):
+            d |= np.roll(occ, 1, ax) | np.roll(occ, -1, ax)
+        return d
+
     def bitgrid_128(self, threshold: float = 1e-3) -> np.ndarray:
         """128³ occupancy bitfield in Morton order (ref: load_volume)."""
         from ngp_tpu.grid.occupancy import morton3d

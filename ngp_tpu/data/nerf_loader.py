@@ -38,7 +38,8 @@ class NerfDataset:
     focal: np.ndarray             # (I, 2) fl_x, fl_y in pixels
     principal: np.ndarray         # (I, 2) cx, cy normalized to [0,1]
     resolution: np.ndarray        # (I, 2) W, H
-    lens_params: np.ndarray       # (I, 4) k1 k2 p1 p2 (OpenCV) or zeros
+    lens_params: np.ndarray       # (I, 7): OpenCV k1 k2 p1 p2 0 0 0, or
+                                  # F-theta p0..p4 w h (ref: read_lens)
     lens_is_opencv: bool
     depth_images: Optional[np.ndarray]   # (I, H, W) float32 or None
     aabb_scale: int
@@ -51,6 +52,7 @@ class NerfDataset:
     rays: Optional[np.ndarray] = None    # (I, H, W, 6) o+d, NGP space
     render_aabb: Optional[np.ndarray] = None  # (2,3) crop box (ngp units)
     envmap: Optional[np.ndarray] = None       # (He, We, 4) linear RGBA
+    lens_mode: str = "perspective"  # perspective|opencv|ftheta|latlong
 
     @property
     def n_images(self) -> int:
@@ -251,8 +253,16 @@ def load_nerf(paths, sharpen: float = 0.0,
             fx = fy
         cx = float(src.get("cx", W / 2.0)) / W
         cy = float(src.get("cy", H / 2.0)) / H
-        lens = np.array([float(src.get(k, 0.0)) for k in
-                         ("k1", "k2", "p1", "p2")], np.float32)
+        lens = np.zeros(7, np.float32)
+        if "ftheta_p0" in src:
+            # F-theta fisheye polynomial + its native resolution
+            # (ref: read_lens, nerf_loader.cu:250-258)
+            lens[:5] = [float(src[f"ftheta_p{i}"]) for i in range(5)]
+            lens[5] = float(src.get("w", W))
+            lens[6] = float(src.get("h", H))
+        else:
+            lens[:4] = [float(src.get(k, 0.0)) for k in
+                        ("k1", "k2", "p1", "p2")]
         return fx, fy, cx, cy, lens
 
     def load_frame(args):
@@ -350,6 +360,15 @@ def load_nerf(paths, sharpen: float = 0.0,
                 rays_arr[i, :h, :w] = r[10]
 
     lens = np.stack([r[6] for r in results])
+    # lens mode (ref: read_lens — FTheta/LatLong override OpenCV)
+    if bool(g0.get("latlong", False)):
+        lens_mode = "latlong"
+    elif "ftheta_p0" in g0 or any(np.abs(lens[:, 4:]).sum(1) > 0):
+        lens_mode = "ftheta"
+    elif np.abs(lens[:, :4]).sum() > 0:
+        lens_mode = "opencv"
+    else:
+        lens_mode = "perspective"
     return NerfDataset(
         images=imgs,
         xforms=np.stack([r[1] for r in results]),
@@ -358,7 +377,8 @@ def load_nerf(paths, sharpen: float = 0.0,
         principal=np.stack([r[4] for r in results]),
         resolution=np.stack([r[5] for r in results]),
         lens_params=lens,
-        lens_is_opencv=bool(np.abs(lens).sum() > 0),
+        lens_is_opencv=lens_mode == "opencv",
+        lens_mode=lens_mode,
         depth_images=depths,
         rays=rays_arr,
         aabb_scale=aabb_scale,

@@ -25,24 +25,33 @@ def iterative_opencv_undistort(u, v, k1, k2, p1, p2, iters: int = 8):
 
 
 def pixel_to_ray_train(xy, xform, focal, principal, resolution, lens_params,
-                       use_opencv: bool):
+                       use_opencv, lens_mode: str = None):
     """Training-ray generation (ref: generate_training_samples_nerf,
-    src/testbed_nerf.cu:1169-1195).
+    src/testbed_nerf.cu:1166-1184 — perspective / OpenCV undistort /
+    F-theta fisheye / LatLong equirect).
 
     xy: (N,2) in [0,1]; xform (N,3,4); focal (N,2); principal (N,2);
-    resolution (N,2) float; lens_params (N,4).
+    resolution (N,2) float; lens_params (N,≥4).
     Returns (origin (N,3), dir_unnormalized (N,3)).
     """
-    d = jnp.stack([
-        (xy[:, 0] - principal[:, 0]) * resolution[:, 0] / focal[:, 0],
-        (xy[:, 1] - principal[:, 1]) * resolution[:, 1] / focal[:, 1],
-        jnp.ones_like(xy[:, 0]),
-    ], axis=-1)
-    if use_opencv:
-        x, y = iterative_opencv_undistort(
-            d[:, 0], d[:, 1], lens_params[:, 0], lens_params[:, 1],
-            lens_params[:, 2], lens_params[:, 3])
-        d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    if lens_mode is None:
+        lens_mode = "opencv" if use_opencv else "perspective"
+    if lens_mode == "latlong":
+        d = latlong_to_dir(xy)
+    elif lens_mode == "ftheta":
+        d = f_theta_undistort(xy - principal, lens_params,
+                              jnp.asarray([0.0, 0.0, 1.0]))
+    else:
+        d = jnp.stack([
+            (xy[:, 0] - principal[:, 0]) * resolution[:, 0] / focal[:, 0],
+            (xy[:, 1] - principal[:, 1]) * resolution[:, 1] / focal[:, 1],
+            jnp.ones_like(xy[:, 0]),
+        ], axis=-1)
+        if lens_mode == "opencv":
+            x, y = iterative_opencv_undistort(
+                d[:, 0], d[:, 1], lens_params[:, 0], lens_params[:, 1],
+                lens_params[:, 2], lens_params[:, 3])
+            d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
     origin = xform[:, :, 3]
     world_d = jnp.einsum("nij,nj->ni", xform[:, :, :3], d)
     return origin, world_d
@@ -68,17 +77,20 @@ def latlong_to_dir(xy):
 
 
 def f_theta_undistort(xy_rel, params, default_dir):
-    """F-theta (fisheye polynomial) undistortion — inverse polynomial eval
-    (ref: f_theta_undistortion). params: (...,7) = p0..p4, w, h scales."""
-    # r = |xy| in normalized units; angle = poly(r); dir from angle.
-    r = jnp.linalg.norm(xy_rel, axis=-1)
+    """F-theta (fisheye polynomial) undistortion
+    (ref: f_theta_undistortion, common_device.cuh:236-249).
+    params: (...,7) = p0..p4 polynomial + the intrinsics' native (w, h) —
+    uv offsets are rescaled into that pixel frame before the polynomial."""
     p = params
+    xpix = xy_rel[..., 0] * p[..., 5]
+    ypix = xy_rel[..., 1] * p[..., 6]
+    r = jnp.sqrt(xpix * xpix + ypix * ypix)
     theta = p[..., 0] + r * (p[..., 1] + r * (p[..., 2] + r * (p[..., 3] + r * p[..., 4])))
-    sin_t = jnp.sin(theta)
-    safe_r = jnp.maximum(r, 1e-9)
-    return jnp.stack([xy_rel[..., 0] / safe_r * sin_t,
-                      xy_rel[..., 1] / safe_r * sin_t,
-                      jnp.cos(theta)], axis=-1)
+    cos_t = jnp.cos(theta)
+    sin_r = jnp.sin(theta) / jnp.maximum(r, 1e-9)
+    d = jnp.stack([sin_r * xpix, sin_r * ypix, cos_t], axis=-1)
+    bad = (cos_t <= 1e-37) | (r == 0.0)
+    return jnp.where(bad[..., None], default_dir, d)
 
 
 # --------------------------------------------------------------------------

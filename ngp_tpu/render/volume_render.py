@@ -41,6 +41,11 @@ class VolumeRenderer:
         opts = self.opts
         g = self.trainer.grid
         model = self.trainer.model
+        # 128³ majorant occupancy mask — steps in empty cells contribute
+        # nothing and skip network influence (ref: bitgrid skip in
+        # render_volume, src/testbed_volume.cu:206-392)
+        occ_mask = jnp.asarray(
+            g.occupancy_dense_128().reshape(-1), jnp.float32)
 
         @jax.jit
         def run(params, o, d):
@@ -55,9 +60,14 @@ class VolumeRenderer:
                 rgb_acc, T = carry
                 t = tmin + (i + 0.5) * dt
                 p = o + t[:, None] * d
+                cell = jnp.clip((p * 128).astype(jnp.int32), 0, 127)
+                occ = jnp.take(occ_mask,
+                               (cell[:, 0] * 128 + cell[:, 1]) * 128
+                               + cell[:, 2], mode="clip")
                 out = model.apply(params, p).astype(jnp.float32)
                 emit = jnp.maximum(out[:, :3], 0.0)
-                sigma = jnp.maximum(out[:, 3], 0.0) * opts.distance_scale / \
+                sigma = occ * jnp.maximum(out[:, 3], 0.0) * \
+                    opts.distance_scale / \
                     jnp.maximum(g.global_majorant, 1e-9)
                 alpha = 1.0 - jnp.exp(-sigma * dt)
                 rgb_acc = rgb_acc + (T * alpha)[:, None] * emit

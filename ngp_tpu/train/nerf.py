@@ -133,11 +133,18 @@ class NerfTrainer:
         # occupancy grid, with camera-visibility culling at init
         # (ref: mark_untrained_density_grid)
         grid = occ.init_grid(self.max_cascade)
-        density0 = occ.mark_untrained(
-            self.max_cascade,
-            jnp.asarray(dataset.xforms),
-            jnp.asarray(dataset.focal),
-            jnp.asarray(dataset.resolution))
+        if getattr(dataset, "lens_mode", "perspective") in ("ftheta",
+                                                            "latlong"):
+            # fisheye/equirect cameras see (almost) everywhere — the
+            # reference skips frustum culling for them
+            # (ref: mark_untrained_density_grid, testbed_nerf.cu:391)
+            density0 = grid.density
+        else:
+            density0 = occ.mark_untrained(
+                self.max_cascade,
+                jnp.asarray(dataset.xforms),
+                jnp.asarray(dataset.focal),
+                jnp.asarray(dataset.resolution))
         self.grid = grid._replace(density=density0)
 
         # device-resident dataset (fp16 images like the reference's GPU
@@ -318,7 +325,8 @@ class NerfTrainer:
         else:
             o, d_raw = pixel_to_ray_train(
                 xy, xf, focal, data["principal"][img], res,
-                data["lens_params"][img], self.dataset.lens_is_opencv)
+                data["lens_params"][img], self.dataset.lens_is_opencv,
+                lens_mode=getattr(self.dataset, "lens_mode", None))
         if tc.optimize_distortion and "distortion" in cam:
             # learned distortion adds to the camera-space xy direction
             # BEFORE the world rotation (ref: read_image<2> add at

@@ -155,13 +155,20 @@ class SdfTrainer:
         return out
 
     def calculate_iou(self, n_samples: int = 1 << 21,
-                      seed: int = 0) -> float:
+                      seed: int = 0, block: int = 1 << 22) -> float:
         """IoU of sign agreement vs BVH ground truth over random samples
-        (ref: Testbed::calculate_iou src/testbed_sdf.cu:1269)."""
+        (ref: Testbed::calculate_iou src/testbed_sdf.cu:1269 — the
+        reference evaluates up to 128M samples; chunked here so the full
+        count fits in host memory)."""
         rng = np.random.default_rng(seed)
-        pts = rng.random((n_samples, 3), np.float32)
-        gt = self.bvh.signed_distance(pts, mode=self.sign_mode) <= 0
-        pred = self.distance_at(pts) <= 0
-        inter = np.logical_and(gt, pred).sum()
-        union = np.logical_or(gt, pred).sum()
+        inter = union = 0
+        remaining = int(n_samples)
+        while remaining > 0:
+            n = min(block, remaining)
+            pts = rng.random((n, 3), np.float32)
+            gt = self.bvh.signed_distance(pts, mode=self.sign_mode) <= 0
+            pred = self.distance_at(pts) <= 0
+            inter += int(np.logical_and(gt, pred).sum())
+            union += int(np.logical_or(gt, pred).sum())
+            remaining -= n
         return float(inter) / max(float(union), 1.0)

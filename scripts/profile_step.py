@@ -17,13 +17,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timed(fn, *args, k=8):
+def force(r):
+    """Fetch ONE element (slice on device first — np.asarray on a big leaf
+    pulls the whole array through the tunnel, seconds for 50 MB)."""
     import jax
+    return np.asarray(jax.tree.leaves(r)[0].ravel()[0:1])
+
+
+def timed(fn, *args, k=8):
     r = fn(*args)                     # compile
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    force(r)
     t0 = time.time()
     r = fn(*args)
-    np.asarray(jax.tree.leaves(r)[0]).ravel()[:1]
+    force(r)
     return (time.time() - t0) / k
 
 
@@ -153,10 +159,10 @@ def main():
     # phase 5: occupancy grid update cost (amortized every 16 steps)
     kk, _ = jax.random.split(key)
     g2 = tr._grid_update(tr.params, tr.grid, kk, full_sweep=False)
-    jax.block_until_ready(g2.density)
+    force(g2.density)
     t0 = time.time()
     g2 = tr._grid_update(tr.params, g2, kk, full_sweep=False)
-    np.asarray(g2.density).ravel()[:1]
+    force(g2.density)
     print(f"grid update (every 16 steps):      {(time.time()-t0)*1e3:8.2f} ms",
           flush=True)
 

@@ -74,3 +74,22 @@ def test_sdf_trainer_learns_cube(tmp_path):
     tr.train(120)
     iou = tr.calculate_iou(n_samples=1 << 15)
     assert iou > 0.5, iou
+
+
+def test_pathescape_sign_matches_watertight_on_cube():
+    """PathEscape (mode 2, ref: src/optix/pathescape.cu): random-walk
+    escape voting must agree with the pseudonormal test on a closed cube."""
+    import numpy as np
+    from ngp_tpu.data.mesh import TriangleBvh
+
+    v, f = make_cube_mesh()
+    bvh = TriangleBvh(v, f)
+    pts = np.array([[0.5, 0.5, 0.5],      # inside
+                    [0.6, 0.4, 0.5],      # inside
+                    [0.9, 0.9, 0.9],      # outside (near corner)
+                    [0.1, 0.5, 0.5]],     # outside
+                   np.float32)
+    d_w = bvh.signed_distance(pts, mode=TriangleBvh.MODE_WATERTIGHT)
+    d_p = bvh.signed_distance(pts, mode=TriangleBvh.MODE_PATHESCAPE)
+    assert np.all(np.sign(d_w) == np.sign(d_p)), (d_w, d_p)
+    np.testing.assert_allclose(np.abs(d_w), np.abs(d_p), rtol=1e-5)

@@ -432,9 +432,15 @@ class Testbed:
                 env_arr = jnp.asarray(ds.envmap)
                 sampler = Envmap(ds.envmap.shape[0], ds.envmap.shape[1])
                 env = lambda d: sampler.sample(env_arr, d)
+            dist = None
+            if "distortion" in self.trainer.cam_params:
+                dparams = self.trainer.cam_params["distortion"]
+                dgrid = self.trainer.distortion
+                dist = lambda uv: dgrid.sample(dparams, uv)
             cache[key] = NerfRenderer.for_trainer(self.trainer, opts,
                                                   masks=masks,
-                                                  envmap_sampler=env)
+                                                  envmap_sampler=env,
+                                                  distortion_sampler=dist)
         return cache[key]
 
     def render_dynamic(self, width: int, height: int) -> np.ndarray:
@@ -624,7 +630,30 @@ class Testbed:
                 tr.density_at, res=res, threshold=thresh,
                 aabb_min=float(tr.aabb_min), aabb_size=float(tr.aabb_size))
         n = vertex_normals(v, f) if len(v) else np.zeros((0, 3), np.float32)
-        return {"V": v, "N": n, "C": np.abs(n), "F": f}
+        if self.mode == TestbedMode.NERF and len(v):
+            # true radiance-field vertex colors (ref:
+            # compute_mesh_vertex_colors / get_rgba_on_grid)
+            from ngp_tpu.opt.optimizers import inference_params
+            from ngp_tpu.render.mesh_export import vertex_colors
+            p = inference_params(tr.params, tr.opt_state, tr.opt_cfg)
+            c = vertex_colors(tr.model, p, v, float(tr.aabb_min),
+                              float(tr.aabb_size))
+        else:
+            c = np.abs(n)
+        return {"V": v, "N": n, "C": c, "F": f}
+
+    def get_rgba_on_grid(self, resolution: int = 128,
+                         ray_dir=(0.0, 0.0, 1.0), depth: float = 0.01,
+                         density_as_alpha: bool = False) -> np.ndarray:
+        """NeRF RGBA on a voxel grid (ref: Testbed::get_rgba_on_grid,
+        src/testbed_nerf.cu:3532)."""
+        from ngp_tpu.opt.optimizers import inference_params
+        from ngp_tpu.render.mesh_export import rgba_on_grid
+        tr = self.trainer
+        p = inference_params(tr.params, tr.opt_state, tr.opt_cfg)
+        return rgba_on_grid(tr.model, p, resolution, float(tr.aabb_min),
+                            float(tr.aabb_size), ray_dir, depth,
+                            density_as_alpha)
 
     def compute_and_save_marching_cubes_mesh(self, filename,
                                              resolution=(256, 256, 256),

@@ -212,3 +212,109 @@ def extract_mesh_from_density(density_fn: Callable, res: int = 256,
     if smooth_iters and len(verts):
         verts = smooth_mesh(verts, faces, smooth_iters)
     return verts, faces
+
+
+def rgba_on_grid(model, params, res: int, aabb_min=0.0, aabb_size=1.0,
+                 ray_dir=(0.0, 0.0, 1.0), depth: float = 0.01,
+                 density_as_alpha: bool = False,
+                 chunk: int = 1 << 18) -> np.ndarray:
+    """NeRF RGBA sampled on a res³ voxel-center grid with a fixed view
+    direction (ref: Testbed::get_rgba_on_grid, testbed_nerf.cu:3532 +
+    compute_nerf_rgba). Returns (res, res, res, 4) float32, indexed
+    [x, y, z]; alpha = 1 - exp(-σ·depth) unless ``density_as_alpha``."""
+    import jax
+    import jax.numpy as jnp
+
+    lin = (np.arange(res, dtype=np.float32) + 0.5) / res
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    pos = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    dirs = np.broadcast_to(np.asarray(ray_dir, np.float32), pos.shape)
+    dirs = dirs / np.linalg.norm(np.asarray(ray_dir))
+
+    @jax.jit
+    def run(p, pw, dw):
+        rgb_raw, dens_raw = model.apply(p, pw, dw * 0.5 + 0.5)
+        rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+        sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32), -15., 15.))
+        a = sigma if density_as_alpha else 1.0 - jnp.exp(-sigma * depth)
+        return jnp.concatenate([rgb, a[:, None]], -1)
+
+    out = np.empty((pos.shape[0], 4), np.float32)
+    for i in range(0, pos.shape[0], chunk):
+        sl = slice(i, min(i + chunk, pos.shape[0]))
+        out[sl] = np.asarray(run(params, jnp.asarray(pos[sl]),
+                                 jnp.asarray(dirs[sl])))
+    return out.reshape(res, res, res, 4)
+
+
+def save_rgba_slices(path_prefix, rgba: np.ndarray):
+    """RGBA grid → PNG sequence (ref: save_rgba_grid_to_png_sequence)."""
+    from ngp_tpu.data.image_io import save_stbi
+    for z in range(rgba.shape[2]):
+        save_stbi(f"{path_prefix}_{z:04d}.png",
+                  np.clip(rgba[:, :, z], 0, 1), from_linear=False)
+
+
+def vertex_colors(model, params, verts: np.ndarray, aabb_min=0.0,
+                  aabb_size=1.0, ray_dir=(0.0, 0.0, 1.0),
+                  chunk: int = 1 << 18) -> np.ndarray:
+    """Per-vertex sRGB colors from the radiance field (for colored
+    OBJ/PLY export, ref: compute_mesh_vertex_colors)."""
+    rgba = None
+    import jax
+    import jax.numpy as jnp
+
+    pw = (np.asarray(verts, np.float32) - aabb_min) / aabb_size
+    dirs = np.broadcast_to(np.asarray(ray_dir, np.float32), pw.shape)
+
+    @jax.jit
+    def run(p, pwj, dw):
+        rgb_raw, _ = model.apply(p, pwj, dw * 0.5 + 0.5)
+        return jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+
+    out = np.empty((pw.shape[0], 3), np.float32)
+    for i in range(0, pw.shape[0], chunk):
+        sl = slice(i, min(i + chunk, pw.shape[0]))
+        out[sl] = np.asarray(run(params, jnp.asarray(pw[sl]),
+                                 jnp.asarray(dirs[sl])))
+    return out
+
+
+def mesh_optimization_step(density_and_grad_fn: Callable,
+                           verts: np.ndarray, faces: np.ndarray,
+                           threshold: float = 2.5,
+                           learning_rate: float = 1e-4,
+                           smooth_amount: float = 128.0,
+                           density_amount: float = 128.0,
+                           inflate_amount: float = 1.0) -> np.ndarray:
+    """One mesh-optimization step: vertices move along the density
+    gradient toward the isosurface, with Laplacian smoothing and an
+    inflation term (ref: compute_mesh_opt_gradients_kernel,
+    src/marching_cubes.cu:721-753 — grad = n̂·sign(σ−thresh)·k_d +
+    (v − smoothed)·k_s − normal̂·k_i, then a gradient-descent update).
+
+    ``density_and_grad_fn(verts) → (σ (N,), ∇σ (N,3))`` in world units.
+    Returns the updated vertices.
+    """
+    verts = np.asarray(verts, np.float32)
+    sigma, g = density_and_grad_fn(verts)
+    n_hat = g / (np.linalg.norm(g, axis=-1, keepdims=True) + 1e-9)
+
+    # 1-ring average (the reference accumulates neighbor positions with
+    # counts in verts_smoothed)
+    smoothed = np.zeros_like(verts)
+    counts = np.zeros((len(verts), 1), np.float32)
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        np.add.at(smoothed, faces[:, a], verts[faces[:, b]])
+        np.add.at(smoothed, faces[:, b], verts[faces[:, a]])
+        np.add.at(counts, faces[:, a], 1.0)
+        np.add.at(counts, faces[:, b], 1.0)
+    smoothed /= np.maximum(counts, 1.0)
+    smoothing_grad = verts - smoothed
+
+    nrm = vertex_normals(verts, faces)
+    nrm = nrm / (np.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-9)
+
+    grad = (n_hat * np.sign(sigma - threshold)[:, None] * density_amount
+            + smoothing_grad * smooth_amount - nrm * inflate_amount)
+    return verts - learning_rate * grad

@@ -71,7 +71,7 @@ class NerfRenderer:
 
     def __init__(self, model, aabb_min, aabb_size, cone_angle, max_cascade,
                  opts: Optional[RenderOptions] = None, masks=None,
-                 envmap_sampler=None):
+                 envmap_sampler=None, distortion_sampler=None):
         self.model = model
         self.aabb_min = aabb_min
         self.aabb_size = aabb_size
@@ -80,6 +80,7 @@ class NerfRenderer:
         self.opts = opts or RenderOptions()
         self.masks = masks or []          # list of multi_nerf.Mask3D
         self.envmap_sampler = envmap_sampler  # d_world (N,3) → rgba (N,4)
+        self.distortion_sampler = distortion_sampler  # uv (N,2) → (N,2)
 
     @classmethod
     def for_trainer(cls, trainer, opts: Optional[RenderOptions] = None,
@@ -159,6 +160,17 @@ class NerfRenderer:
                                         xf_s, xf_e, rshutter, jitter_on)
             if mode == RenderMode.SLICE:
                 return self._slice_mode(params, o, d, xf_s, bg, n_rays)
+            if mode == RenderMode.DISTORTION:
+                # visualize the learned ray-distortion grid as 2D flow
+                # (ref: ERenderMode::Distortion overlay)
+                uv = jnp.stack([u, v], -1)
+                off = self.distortion_sampler(uv) \
+                    if self.distortion_sampler is not None \
+                    else jnp.zeros((n_rays, 2))
+                rgb = jnp.concatenate(
+                    [0.5 + off * 10.0, jnp.full((n_rays, 1), 0.5)], -1)
+                return rgb, jnp.ones((n_rays,)), jnp.zeros((n_rays,)), \
+                    jnp.zeros((), jnp.int32)
 
             per_ray = opts.samples_per_chunk_factor
             S = opts.chunk * per_ray

@@ -147,20 +147,37 @@ class NerfTrainer:
                 jnp.asarray(dataset.resolution))
         self.grid = grid._replace(density=density0)
 
-        # device-resident dataset (fp16 images like the reference's GPU
-        # copy). Bundled as a pytree passed INTO the jitted step — a
-        # closure capture would embed the image tensor as an HLO constant
-        # (hundreds of MB in the serialized module).
+        # device-resident dataset (fp16 pixels like the reference's GPU
+        # copy), stored as a FLAT per-image pixel pool with offsets —
+        # mixed-resolution captures pay no max-res padding (round 1 padded
+        # every image to (Hmax, Wmax)). Bundled as a pytree passed INTO
+        # the jitted step — a closure capture would embed the tensor as an
+        # HLO constant (hundreds of MB in the serialized module).
+        res_np = np.asarray(dataset.resolution, np.int64)       # (I,2) W,H
+        sizes = res_np[:, 0] * res_np[:, 1]
+        offs = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        if offs[-1] >= 2 ** 31:
+            raise ValueError("dataset exceeds 2^31 pixels")
+
+        def pool(imgs, ch, dtype):
+            out = np.empty((int(offs[-1]), ch), dtype)
+            for i, (w, h) in enumerate(res_np):
+                out[offs[i]: offs[i + 1]] = \
+                    imgs[i][:h, :w].reshape(-1, ch)
+            return out
+
         # rolling shutter: per-ray slerp between start/end extrinsics when
         # the dataset carries distinct transform_matrix_start/end
         # (ref: generate_training_samples_nerf :1085-1260)
         has_rs = dataset.xforms_end is not None and \
             not np.allclose(dataset.xforms, dataset.xforms_end)
         self.data = {
-            "images": jnp.asarray(dataset.images, jnp.float16),
-            **({"rays": jnp.asarray(dataset.rays)}
+            "pixels": jnp.asarray(pool(dataset.images, 4, np.float16)),
+            "img_offset": jnp.asarray(offs[:-1].astype(np.int32)),
+            **({"rays": jnp.asarray(pool(dataset.rays, 6, np.float32))}
                if dataset.rays is not None else {}),
-            **({"depths": jnp.asarray(dataset.depth_images, jnp.float32)}
+            **({"depths": jnp.asarray(pool(
+                dataset.depth_images[..., None], 1, np.float32)[:, 0])}
                if dataset.depth_images is not None else {}),
             **({"xforms_end": jnp.asarray(dataset.xforms_end)}
                if has_rs else {}),
@@ -278,8 +295,16 @@ class NerfTrainer:
             xy = (jnp.floor(xy * res) + 0.5) / res
         pix = jnp.clip((xy * res).astype(jnp.int32), 0,
                        res.astype(jnp.int32) - 1)
-        texsamp = data["images"][img, pix[:, 1], pix[:, 0]].astype(jnp.float32)
+        texsamp = data["pixels"][self._pixel_index(data, img, pix)].astype(
+            jnp.float32)
         return img, xy, texsamp, pdf
+
+    @staticmethod
+    def _pixel_index(data, img, pix):
+        """Flat pixel-pool index for (image, x, y) — the device dataset is
+        a concatenated per-image pool (no max-resolution padding)."""
+        w = data["resolution"][img, 0].astype(jnp.int32)
+        return data["img_offset"][img] + pix[:, 1] * w + pix[:, 0]
 
     @staticmethod
     def _rodrigues(rot):
@@ -320,7 +345,7 @@ class NerfTrainer:
             # generate_training_samples_nerf :1144-1152)
             pix = jnp.clip((xy * res).astype(jnp.int32), 0,
                            res.astype(jnp.int32) - 1)
-            rr = data["rays"][img, pix[:, 1], pix[:, 0]]
+            rr = data["rays"][self._pixel_index(data, img, pix)]
             o, d_raw = rr[:, :3], rr[:, 3:]
         else:
             o, d_raw = pixel_to_ray_train(
@@ -375,7 +400,8 @@ class NerfTrainer:
             res = data["resolution"][img]
             pix = jnp.clip((xy * res).astype(jnp.int32), 0,
                            res.astype(jnp.int32) - 1)
-            depth_tgt = dnorm0 * data["depths"][img, pix[:, 1], pix[:, 0]]
+            depth_tgt = dnorm0 * data["depths"][
+                self._pixel_index(data, img, pix)]
         else:
             depth_tgt = None
         t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)

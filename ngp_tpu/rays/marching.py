@@ -144,3 +144,83 @@ def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int):
     rgb_ray = jnp.zeros((n_rays, 3)).at[s_ray].add(w[:, None] * rgb, mode="drop")
     opt_depth = jnp.zeros((n_rays,)).at[s_ray].add(sdt, mode="drop")
     return rgb_ray, 1.0 - jnp.exp(-opt_depth), w
+
+
+def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,
+                           march_steps: int, cone_angle: float,
+                           max_cascade: int, aabb_min, aabb_size,
+                           capacity: int, seg: int = 8,
+                           t_start_min: float = 0.0, ray_mask=None):
+    """Two-level march: segments of ``seg`` lattice steps are culled with
+    the conservative 16³ coarse mask (one lookup per segment instead of
+    ``seg`` bitfield gathers), surviving segments are compacted, and only
+    their samples get the fine occupancy test + final compaction.
+
+    Cuts the per-step occupancy gathers ~6× vs the flat march (the
+    reference's DDA gets the same effect sequentially,
+    ref: generate_training_samples_nerf two-pass march :1085-1260).
+
+    Returns (s_t, s_dt, s_ray, counts, offsets, fits, total) with the
+    same downstream contract as march_rays + compact_samples; ``counts``
+    / ``offsets`` / ``fits`` are per-RAY and rays at the capacity
+    boundary may be PARTIALLY included front-to-back (like the
+    reference's compacted_base truncation).
+    """
+    K = march_steps
+    assert K % seg == 0
+    n_seg = K // seg
+    # headroom: dilated coarse cells pass segments whose samples then
+    # fail the fine test; 4x covers ~25% fine survival
+    seg_capacity = capacity // seg * 4
+
+    tmin, tmax = ray_aabb_intersect(o, d, aabb_min, aabb_min + aabb_size)
+    tmin = jnp.maximum(tmin, t_start_min)
+    if key is not None:
+        u = jax.random.uniform(key, (n_rays,))
+        t0 = tmin + calc_dt(tmin, cone_angle) * u
+    else:
+        t0 = tmin
+    t = step_lattice(t0, cone_angle, K)                    # (R, K)
+    dt = calc_dt(t, cone_angle)
+    inside = (t < tmax[:, None]) & (tmax > tmin)[:, None]
+    if ray_mask is not None:
+        inside = inside & ray_mask[:, None]
+
+    # ---- level 1: segment culling on midpoints ------------------------
+    tm = t.reshape(n_rays, n_seg, seg)[:, :, seg // 2]     # (R, n_seg)
+    dm = dt.reshape(n_rays, n_seg, seg)[:, :, seg // 2]
+    pos_m = o[:, None, :] + tm[..., None] * d[:, None, :]
+    mip_m = occ.mip_from_dt(dm.reshape(-1), pos_m.reshape(-1, 3),
+                            max_cascade)
+    occ_seg = occ.coarse_occupied_at(coarse, pos_m.reshape(-1, 3),
+                                     mip_m).reshape(n_rays, n_seg)
+    emit_seg = occ_seg & inside.reshape(n_rays, n_seg, seg).any(-1)
+    _, _, seg_ray, _, _, _, _, seg_k = compact_samples(
+        tm, dm, emit_seg, n_rays, seg_capacity)
+    seg_valid = seg_ray < n_rays
+    rid0 = jnp.clip(seg_ray, 0, n_rays - 1)
+
+    # ---- expand survivors + fine test ---------------------------------
+    ks = seg_k[:, None] * seg + jnp.arange(seg)[None]      # (S1, seg)
+    t_s = t[rid0[:, None], ks]
+    dt_s = dt[rid0[:, None], ks]
+    ins_s = inside[rid0[:, None], ks] & seg_valid[:, None]
+    pos_s = o[rid0][:, None, :] + t_s[..., None] * d[rid0][:, None, :]
+    flat = pos_s.reshape(-1, 3)
+    mip_s = occ.mip_from_dt(dt_s.reshape(-1), flat, max_cascade)
+    occ_s = occ.occupied_at(bitfield, flat, mip_s).reshape(ins_s.shape)
+    emit_fine = ins_s & occ_s
+
+    # ---- level 2: final compaction over (segments, seg) ----------------
+    S1 = seg_ray.shape[0]
+    s_t, s_dt, s_segid, _, _, _, total, _ = compact_samples(
+        t_s, dt_s, emit_fine, S1, capacity)
+    sv = s_segid < S1
+    s_ray = jnp.where(sv, seg_ray[jnp.clip(s_segid, 0, S1 - 1)], n_rays)
+
+    # per-RAY counts/offsets for the segmented composite
+    counts = jnp.zeros((n_rays,), jnp.int32).at[s_ray].add(
+        sv.astype(jnp.int32), mode="drop")
+    offsets = jnp.cumsum(counts) - counts
+    fits = counts > 0
+    return s_t, s_dt, s_ray, counts, offsets, fits, total

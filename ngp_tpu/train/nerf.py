@@ -64,6 +64,9 @@ class NerfTrainerConfig:
     density_grid_decay: float = 0.95
     n_steps_between_grid_updates: int = 16
     snap_to_pixel_centers: bool = False
+    # two-level march: coarse 16³ segment culling before fine bitfield
+    # tests (~6× fewer occupancy gathers; see march_and_compact_hier)
+    hierarchical_march: bool = True
     # M9 (ref: testbed.h nerf.training flags; all default-off like the ref)
     optimize_extrinsics: bool = False
     optimize_exposure: bool = False
@@ -381,8 +384,8 @@ class NerfTrainer:
     # ------------------------------------------------------------------
 
     def _train_step_impl(self, params, opt_state, cam, cam_m, cam_v,
-                         error_map, error_state, bitfield, grid_mean, key,
-                         data, n_rays):
+                         error_map, error_state, bitfield, coarse,
+                         grid_mean, key, data, n_rays):
         tc = self.tcfg
         S = tc.target_batch_size
         E = max(self.dataset.n_extra_learnable_dims, 1)
@@ -404,11 +407,20 @@ class NerfTrainer:
                 self._pixel_index(data, img, pix)]
         else:
             depth_tgt = None
-        t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)
         # masked-away pixels (negative red sentinel) never train
-        emit = emit & (texsamp[:, 0] >= 0.0)[:, None]
-        s_t, s_dt, s_ray, counts, offsets, fits, total, _ = self._compact(
-            t, dt, emit, n_rays)
+        ray_ok = texsamp[:, 0] >= 0.0
+        if tc.hierarchical_march and coarse is not None:
+            from ngp_tpu.rays.marching import march_and_compact_hier
+            s_t, s_dt, s_ray, counts, offsets, fits, total = \
+                march_and_compact_hier(
+                    bitfield, coarse, o0, d0, k_march, n_rays,
+                    tc.march_steps, self.cone_angle, self.max_cascade,
+                    self.aabb_min, self.aabb_size, S, ray_mask=ray_ok)
+        else:
+            t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)
+            emit = emit & ray_ok[:, None]
+            s_t, s_dt, s_ray, counts, offsets, fits, total, _ = \
+                self._compact(t, dt, emit, n_rays)
         rid = jnp.clip(s_ray, 0, n_rays - 1)
 
         if tc.random_bg_color:
@@ -571,7 +583,7 @@ class NerfTrainer:
         stats = TrainStepStats(
             loss=loss_rgb / 3.0,
             measured_samples=jnp.minimum(total, S),
-            measured_samples_uncompacted=emit.sum(),
+            measured_samples_uncompacted=total,
             n_rays_with_samples=has_samples.sum(),
         )
         return params, opt_state, cam, cam_m, cam_v, error_map, stats, key
@@ -631,8 +643,14 @@ class NerfTrainer:
         measured = int(measured_dev)
         if measured > 0:
             ideal = n_rays * tc.target_batch_size / measured
+            # growth-limited (≤2× per update): every distinct n_rays is a
+            # fresh XLA compile (45-130 s through the axon tunnel), and an
+            # early near-empty grid would otherwise explode rays to 2^18
+            ideal = min(ideal, n_rays * 2)
             new_rays = 1 << int(round(math.log2(max(ideal, 256))))
-            self.tcfg.n_rays = int(min(new_rays, 1 << 18))
+            # lattice memory/compute cap: n_rays · march_steps ≤ 2^24
+            cap = max((1 << 24) // tc.march_steps, 256)
+            self.tcfg.n_rays = int(min(new_rays, 1 << 18, cap))
         return loss
 
     def _chunk_fn(self, n_rays: int, T: int):
@@ -646,12 +664,12 @@ class NerfTrainer:
             return fn
 
         def chunk(params, opt_state, cam, cam_m, cam_v, error_map,
-                  err_state, bitfield, grid_mean, key, data):
+                  err_state, bitfield, coarse, grid_mean, key, data):
             def body(c, _):
                 p, o, cm, m, v, em, k = c
                 p, o, cm, m, v, em, stats, k = self._train_step_impl(
-                    p, o, cm, m, v, em, err_state, bitfield, grid_mean,
-                    k, data, n_rays=n_rays)
+                    p, o, cm, m, v, em, err_state, bitfield, coarse,
+                    grid_mean, k, data, n_rays=n_rays)
                 return (p, o, cm, m, v, em, k), \
                     (stats.loss, stats.measured_samples)
             c0 = (params, opt_state, cam, cam_m, cam_v, error_map, key)
@@ -695,7 +713,7 @@ class NerfTrainer:
              self.cam_v, self.error_map, self.key, loss_dev, measured) = fn(
                 self.params, self.opt_state, self.cam_params, self.cam_m,
                 self.cam_v, self.error_map, err_state, self.grid.bitfield,
-                self.grid.mean, self.key, self.data)
+                self.grid.coarse, self.grid.mean, self.key, self.data)
             pending = (loss_dev, measured, n_rays)
             self.training_step += k_chunk
             self._steps_since_error_map_update += k_chunk

@@ -12,10 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: the suite re-jits the same step shapes every
+# run; CPU-backend executables cache fine (the axon TPU backend doesn't)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.jax_cache_cpu")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import sys
 from pathlib import Path

@@ -113,6 +113,7 @@ class Testbed:
                 world_scale=None, world_offset=None),
             render_with_lens_distortion=False,
             render_min_transmittance=1e-4,
+            glow_mode=0, glow_y_cutoff=0.0,
             cone_angle_constant=1.0 / 256.0)
         self.sdf = SimpleNamespace(
             mesh_sdf_mode=1, mesh_scale=1.0, analytic_normals=False,
@@ -413,11 +414,14 @@ class Testbed:
             + float(getattr(self, "scale", 1.0)),
             render_aabb_min=ra_min, render_aabb_max=ra_max,
             slice_plane_z=float(getattr(self, "slice_plane_z", 0.0)),
-            visualized_level=int(getattr(self, "visualized_layer", 0)))
+            visualized_level=int(getattr(self, "visualized_layer", 0)),
+            glow_mode=int(getattr(self.nerf, "glow_mode", 0)),
+            glow_y_cutoff=float(getattr(self.nerf, "glow_y_cutoff", 0.0)))
         key = (opts.render_mode, opts.snap_to_pixel_centers, opts.exposure,
                opts.tonemap_curve, opts.background, opts.lens_params,
                opts.min_transmittance, ra_min, ra_max, opts.aperture_size,
-               opts.slice_plane_z, opts.visualized_level)
+               opts.slice_plane_z, opts.visualized_level, opts.glow_mode,
+               opts.glow_y_cutoff)
         cache = getattr(self, "_renderer_cache", None)
         if cache is None:
             cache = self._renderer_cache = {}

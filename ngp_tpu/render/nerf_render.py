@@ -64,6 +64,11 @@ class RenderOptions:
     snap_to_pixel_centers: bool = False  # eval protocol (ref run.py:228-241)
     slice_plane_z: float = 0.0           # SLICE mode plane offset
     visualized_level: int = 0            # ENCODING_VIS level
+    # glow bitmask (ref: glow_mode/glow_y_cutoff, composite_kernel_nerf
+    # :843-940): 1 green grid, 2 cutline, 4 mask-to-alpha, 8 radial,
+    # 16 grid-only
+    glow_mode: int = 0
+    glow_y_cutoff: float = 0.0
 
 
 class NerfRenderer:
@@ -238,15 +243,25 @@ class NerfRenderer:
                     rgb = pos_w
                 sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
                                          -15., 15.))
+                if opts.glow_mode:
+                    rgb, glow_mask = _apply_glow(
+                        rgb, pos, xf_s[:, 3], opts.glow_mode,
+                        opts.glow_y_cutoff)
                 s_dt_eff = s_dt
+                alpha_mult = None
                 if self.masks:
-                    # Mask3D alpha modulation: α' = m·α, folded exactly
-                    # into the optical depth: σΔt' = -log(1 - m·(1-e^{-σΔt}))
-                    # (ref: composite_kernel_nerf mask sampling)
                     from ngp_tpu.render.multi_nerf import apply_masks
-                    m = apply_masks(self.masks, pos)
+                    alpha_mult = apply_masks(self.masks, pos)
+                if opts.glow_mode & 4:
+                    alpha_mult = glow_mask if alpha_mult is None \
+                        else alpha_mult * glow_mask
+                if alpha_mult is not None:
+                    # alpha modulation α' = m·α, folded exactly into the
+                    # optical depth: σΔt' = -log(1 - m·(1-e^{-σΔt}))
+                    # (ref: composite_kernel_nerf mask sampling + glow
+                    # mask_to_alpha)
                     alpha = 1.0 - jnp.exp(-sigma * s_dt)
-                    s_dt_eff = -jnp.log1p(-jnp.clip(m * alpha, 0.0,
+                    s_dt_eff = -jnp.log1p(-jnp.clip(alpha_mult * alpha, 0.0,
                                                     1.0 - 1e-7)) / \
                         jnp.maximum(sigma, 1e-10)
                 rgb_seg, opac_seg, w = composite_samples(
@@ -352,3 +367,48 @@ class NerfRenderer:
             rgb = srgb_to_linear(jnp.clip(rgb, 0.0, None))
         return np.asarray(jnp.concatenate([rgb, img[..., 3:]], -1),
                           np.float32)
+
+
+def _apply_glow(rgb, pos, cam_pos, glow_mode: int, glow_y_cutoff: float):
+    """Per-sample glow effect (ref: composite_kernel_nerf glow block,
+    src/testbed_nerf.cu:843-940). Returns (rgb, alpha_mask)."""
+    green_grid = bool(glow_mode & 1)
+    green_cutline = bool(glow_mode & 2)
+    radial = bool(glow_mode & 8)
+    grid_mode = bool(glow_mode & 16)
+
+    if radial:
+        dist = jnp.linalg.norm(pos - cam_pos[None], axis=-1)
+        dist = jnp.minimum(dist, (4.5 - pos[:, 1]) * 0.333)
+    else:
+        dist = pos[:, 1]
+
+    if grid_mode:
+        glow = 1.0 / jnp.maximum(1.0, dist)
+        mask = jnp.ones_like(dist)
+    else:
+        y = glow_y_cutoff - dist
+        y80 = y * 80.0
+        mask = jnp.where(y > 0, jnp.minimum(1.0, y80), 0.0)
+        glow = jnp.zeros_like(dist)
+        if green_cutline:
+            glow = glow + jnp.where(
+                y > 0, jnp.maximum(0.0, 1.0 - jnp.abs(1.0 - y80)) * 4.0,
+                0.0)
+        y2 = jnp.where(y80 > 1.0, 1.0 - (y80 - 1.0) * 0.05, y80)
+        if green_grid:
+            glow = glow + jnp.where(
+                y > 0, jnp.maximum(0.0, y2 / jnp.maximum(1.0, dist)), 0.0)
+
+    line = jnp.zeros_like(dist)
+    for scale in (2.0, 4.0, 8.0, 16.0):
+        for ax in range(3):
+            line = line + jnp.maximum(
+                0.0, jnp.cos(pos[:, ax] * scale * jnp.pi * 16.0) - 0.975)
+    if grid_mode:
+        g = glow * line * 15.0
+        rgb = jnp.stack([g * 0.25, g, g * 0.5], -1)
+    else:
+        g = glow * glow * 0.25 + glow * line * 15.0
+        rgb = rgb + jnp.stack([g * 0.25, g, g * 0.5], -1)
+    return rgb, mask

@@ -391,9 +391,19 @@ class Testbed:
         tuple owns its compiled chunk kernel)."""
         from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
         ds = self.nerf.training.dataset
-        lens = tuple(ds.lens_params[0]) if (
-            ds is not None and self.nerf.render_with_lens_distortion
-            and ds.lens_is_opencv) else (0.0, 0.0, 0.0, 0.0)
+        lmode = getattr(ds, "lens_mode", "perspective") \
+            if ds is not None else "perspective"
+        if lmode in ("ftheta", "latlong"):
+            # non-perspective models always render with their lens
+            # (ref: render path for FTheta/LatLong)
+            lens = tuple(float(x) for x in ds.lens_params[0])
+        elif ds is not None and self.nerf.render_with_lens_distortion \
+                and ds.lens_is_opencv:
+            lens = tuple(float(x) for x in ds.lens_params[0][:4])
+            lmode = "opencv"
+        else:
+            lens = (0.0, 0.0, 0.0, 0.0)
+            lmode = "perspective"
         ra_min = ra_max = None
         if getattr(self, "render_aabb", None) is not None:
             ra_min = tuple(float(x) for x in self.render_aabb.min)
@@ -416,12 +426,13 @@ class Testbed:
             slice_plane_z=float(getattr(self, "slice_plane_z", 0.0)),
             visualized_level=int(getattr(self, "visualized_layer", 0)),
             glow_mode=int(getattr(self.nerf, "glow_mode", 0)),
-            glow_y_cutoff=float(getattr(self.nerf, "glow_y_cutoff", 0.0)))
+            glow_y_cutoff=float(getattr(self.nerf, "glow_y_cutoff", 0.0)),
+            lens_mode=lmode)
         key = (opts.render_mode, opts.snap_to_pixel_centers, opts.exposure,
                opts.tonemap_curve, opts.background, opts.lens_params,
                opts.min_transmittance, ra_min, ra_max, opts.aperture_size,
                opts.slice_plane_z, opts.visualized_level, opts.glow_mode,
-               opts.glow_y_cutoff)
+               opts.glow_y_cutoff, opts.lens_mode)
         cache = getattr(self, "_renderer_cache", None)
         if cache is None:
             cache = self._renderer_cache = {}

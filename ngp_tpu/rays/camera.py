@@ -98,13 +98,32 @@ def f_theta_undistort(xy_rel, params, default_dir):
 # --------------------------------------------------------------------------
 
 def quat_from_mat(m: jnp.ndarray) -> jnp.ndarray:
-    """(3,3) rotation → quaternion (w,x,y,z)."""
-    t = jnp.trace(m)
-    qw = jnp.sqrt(jnp.maximum(1.0 + t, 1e-12)) * 0.5
-    qx = (m[2, 1] - m[1, 2]) / (4 * qw)
-    qy = (m[0, 2] - m[2, 0]) / (4 * qw)
-    qz = (m[1, 0] - m[0, 1]) / (4 * qw)
-    q = jnp.stack([qw, qx, qy, qz])
+    """(3,3) rotation → quaternion (w,x,y,z), robust for ALL rotations.
+
+    Shepperd's method with a branch-free pivot select: the naive
+    w-only construction degenerates for trace ≤ 0 (a 180° rotation
+    silently became the identity — round-2 bug that corrupted every
+    rendered camera with a backwards-facing view)."""
+    m00, m11, m22 = m[0, 0], m[1, 1], m[2, 2]
+    # 4·{w,x,y,z}² (before normalization)
+    s = jnp.stack([1.0 + m00 + m11 + m22,
+                   1.0 + m00 - m11 - m22,
+                   1.0 - m00 + m11 - m22,
+                   1.0 - m00 - m11 + m22])
+    pivot = jnp.argmax(s)
+    r = jnp.sqrt(jnp.maximum(s[pivot], 1e-12))
+    inv = 0.5 / r               # = 1/(2r)
+    cands = jnp.stack([
+        jnp.stack([0.5 * r, (m[2, 1] - m[1, 2]) * inv,
+                   (m[0, 2] - m[2, 0]) * inv, (m[1, 0] - m[0, 1]) * inv]),
+        jnp.stack([(m[2, 1] - m[1, 2]) * inv, 0.5 * r,
+                   (m[0, 1] + m[1, 0]) * inv, (m[0, 2] + m[2, 0]) * inv]),
+        jnp.stack([(m[0, 2] - m[2, 0]) * inv, (m[0, 1] + m[1, 0]) * inv,
+                   0.5 * r, (m[1, 2] + m[2, 1]) * inv]),
+        jnp.stack([(m[1, 0] - m[0, 1]) * inv, (m[0, 2] + m[2, 0]) * inv,
+                   (m[1, 2] + m[2, 1]) * inv, 0.5 * r]),
+    ])
+    q = cands[pivot]
     return q / jnp.linalg.norm(q)
 
 

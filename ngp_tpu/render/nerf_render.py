@@ -69,6 +69,8 @@ class RenderOptions:
     # 16 grid-only
     glow_mode: int = 0
     glow_y_cutoff: float = 0.0
+    # lens model for ray generation (ref: ELensMode in pixel_to_ray)
+    lens_mode: str = "auto"   # auto|perspective|opencv|ftheta|latlong
 
 
 class NerfRenderer:
@@ -98,7 +100,7 @@ class NerfRenderer:
     # ------------------------------------------------------------------
 
     def _gen_rays(self, key, pix0, n_rays, W, H, fx, fy, xf_s, xf_e,
-                  rshutter, jitter_on):
+                  rshutter, jitter_on, motion):
         """Pixel idx → (o, d) world rays, all on device. Applies per-pixel
         jitter, lens undistortion, rolling-shutter/motion-blur transform
         interpolation and thin-lens DoF."""
@@ -111,20 +113,40 @@ class NerfRenderer:
         jit = jnp.where(jitter_on, jax.random.uniform(kj, (n_rays, 2)), 0.5)
         u = (px + jit[:, 0]) / W
         v = (py + jit[:, 1]) / H
-        dx = (u - cx) * W / fx
-        dy = (v - cy) * H / fy
-        if any(abs(p) > 0 for p in opts.lens_params):
-            from ngp_tpu.rays.camera import iterative_opencv_undistort
-            k1, k2, p1, p2 = opts.lens_params
-            dx, dy = iterative_opencv_undistort(dx, dy, k1, k2, p1, p2)
-        d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], -1)
+        lens_mode = opts.lens_mode
+        if lens_mode == "auto":
+            lens_mode = "opencv" if any(abs(p) > 0 for p in
+                                        opts.lens_params[:4]) \
+                else "perspective"
+        if lens_mode == "latlong":
+            from ngp_tpu.rays.camera import latlong_to_dir
+            d_cam = latlong_to_dir(jnp.stack([u, v], -1))
+        elif lens_mode == "ftheta":
+            from ngp_tpu.rays.camera import f_theta_undistort
+            lp = jnp.broadcast_to(
+                jnp.asarray(opts.lens_params, jnp.float32), (n_rays, 7))
+            d_cam = f_theta_undistort(
+                jnp.stack([u - cx, v - cy], -1), lp,
+                jnp.asarray([0.0, 0.0, 1.0]))
+        else:
+            dx = (u - cx) * W / fx
+            dy = (v - cy) * H / fy
+            if lens_mode == "opencv":
+                from ngp_tpu.rays.camera import iterative_opencv_undistort
+                k1, k2, p1, p2 = opts.lens_params[:4]
+                dx, dy = iterative_opencv_undistort(dx, dy, k1, k2, p1, p2)
+            d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], -1)
 
-        # per-ray camera matrix: pixel_t = rs.x + rs.y·u + rs.z·v + rs.w·t
-        # (ref: get_xform_given_rolling_shutter)
-        time = jax.random.uniform(kt, (n_rays,))
-        pixel_t = jnp.clip(rshutter[0] + rshutter[1] * u + rshutter[2] * v
-                           + rshutter[3] * time, 0.0, 1.0)
-        xf = xform_slerp(xf_s, xf_e, pixel_t)                # (N, 3, 4)
+        if motion:
+            # per-ray camera: pixel_t = rs.x + rs.y·u + rs.z·v + rs.w·t
+            # (ref: get_xform_given_rolling_shutter)
+            time = jax.random.uniform(kt, (n_rays,))
+            pixel_t = jnp.clip(rshutter[0] + rshutter[1] * u
+                               + rshutter[2] * v + rshutter[3] * time,
+                               0.0, 1.0)
+            xf = xform_slerp(xf_s, xf_e, pixel_t)            # (N, 3, 4)
+        else:
+            xf = jnp.broadcast_to(xf_s[None], (n_rays, 3, 4))
 
         o_cam = jnp.zeros((n_rays, 3))
         if opts.aperture_size > 0.0:
@@ -143,7 +165,8 @@ class NerfRenderer:
 
         d_world = jnp.einsum("nij,nj->ni", xf[:, :, :3], d_cam)
         o_world = xf[:, :, 3] + jnp.einsum("nij,nj->ni", xf[:, :, :3], o_cam)
-        d_world = d_world / (jnp.linalg.norm(d_world, -1, keepdims=True)
+        d_world = d_world / (jnp.linalg.norm(d_world, axis=-1,
+                                             keepdims=True)
                              + 1e-9)
         return o_world, d_world, u, v
 
@@ -158,11 +181,12 @@ class NerfRenderer:
         crop_max = jnp.asarray(opts.render_aabb_max or (1, 1, 1), jnp.float32)
 
         @functools.partial(jax.jit,
-                           static_argnames=("n_rays", "W", "H"))
+                           static_argnames=("n_rays", "W", "H", "motion"))
         def run(params, bitfield, xf_s, xf_e, rshutter, bg, key, pix0,
-                jitter_on, fx, fy, n_rays, W, H):
+                jitter_on, fx, fy, n_rays, W, H, motion=False):
             o, d, u, v = self._gen_rays(key, pix0, n_rays, W, H, fx, fy,
-                                        xf_s, xf_e, rshutter, jitter_on)
+                                        xf_s, xf_e, rshutter, jitter_on,
+                                        motion)
             if mode == RenderMode.SLICE:
                 return self._slice_mode(params, o, d, xf_s, bg, n_rays)
             if mode == RenderMode.DISTORTION:
@@ -351,7 +375,8 @@ class NerfRenderer:
                 kc = jax.random.fold_in(key, s * n_chunks + c)
                 rgb, opac, _, _ = self._render_chunk(
                     params, bitfield, xf_s, xf_e, rsh, bg, kc,
-                    c * eff_chunk, jitter_on, fx, fy, eff_chunk, W, H)
+                    c * eff_chunk, jitter_on, fx, fy, eff_chunk, W, H,
+                    motion=camera_matrix_end is not None)
                 frame = jax.lax.dynamic_update_slice(
                     frame, jnp.concatenate([rgb, opac[:, None]], -1),
                     (c * eff_chunk, 0))

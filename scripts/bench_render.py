@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""1080p render throughput on the current accelerator (BASELINE: ≥30 fps
+camera-path render at 1920×1080).
+
+    python scripts/bench_render.py [--width 1920 --height 1080]
+    [--occupancy 0.02] [--frames 8]
+
+Uses a realistic sparse occupancy grid + untrained weights (the network
+cost is weight-independent) so it runs without a dataset.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--occupancy", type=float, default=0.02)
+    p.add_argument("--aabb_scale", type=int, default=16)
+    p.add_argument("--chunk", type=int, default=1 << 16)
+    p.add_argument("--grid_impl", default="blocked")
+    args = p.parse_args()
+    os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
+
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from synthetic import make_orbit_dataset
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.grid import occupancy as occ
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+    ds = make_orbit_dataset(n_images=4, res=64, radius=1.2,
+                            aabb_scale=args.aabb_scale, focal=64.0)
+    cfg = load_network_config("configs/nerf/base.json")
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(n_rays=1024,
+                                                     march_steps=512))
+    dens = jnp.where(
+        jax.random.uniform(jax.random.PRNGKey(0),
+                           tr.grid.density.shape) < args.occupancy, 1.0, 0.0)
+    grid = occ.rebuild_bitfield(tr.grid._replace(density=dens),
+                                tr.max_cascade)
+
+    W, H = args.width, args.height
+    fx = H * 1.2
+    r = NerfRenderer.for_trainer(tr, RenderOptions(
+        width=W, height=H, background=(0, 0, 0, 0), linear_out=False,
+        chunk=args.chunk))
+    xf = ds.xforms[0]
+
+    t0 = time.time()
+    img = r.render(tr.params, grid.bitfield, xf, W, H, focal=(fx, fx))
+    print(f"first frame (compile): {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    for i in range(args.frames):
+        img = r.render(tr.params, grid.bitfield, xf, W, H, focal=(fx, fx),
+                       seed=i)
+    dt = (time.time() - t0) / args.frames
+    print(f"{W}x{H} spp1: {dt * 1e3:.1f} ms/frame = {1.0 / dt:.2f} fps "
+          f"(mean alpha {float(img[..., 3].mean()):.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

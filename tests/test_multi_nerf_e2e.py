@@ -72,3 +72,50 @@ def test_render_request_roundtrip(tmp_path):
         camera=cam, nerfs=[NerfDescriptor(snapshot_path=str(snap))])
     img3 = r.render(req3)
     assert img3.shape == (16, 16, 4)
+
+
+@pytest.mark.slow
+def test_render_request_spp_dof_tonemap(tmp_path):
+    """spp / aperture / tonemap on RenderRequest must be honored
+    (ref: render_request.cuh:17-125 + per-ray thin-lens DoF,
+    common_device.cuh:260-317 — round-1 carried these as dead fields)."""
+    import jax
+    from ngp_tpu.common import TonemapCurve
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.render.multi_nerf import (MultiNerfRenderer,
+                                           NerfDescriptor,
+                                           RenderCameraProperties,
+                                           RenderOutputProperties,
+                                           RenderRequest)
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    ds = make_orbit_dataset(n_images=2, res=16)
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 12
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=128, target_batch_size=1024, march_steps=1024))
+    tr.train(2)
+    snap = tmp_path / "s.msgpack"
+    tr.save_snapshot(str(snap), cfg)
+
+    def req(**kw):
+        cam_kw = {k: kw.pop(k) for k in ("aperture_size", "focus_z")
+                  if k in kw}
+        cam = RenderCameraProperties(
+            transform=np.vstack([ds.xforms[0], [0, 0, 0, 1]]),
+            focal_length=16.0, **cam_kw)
+        out = RenderOutputProperties(width=8, height=8,
+                                     background_color=(0.1, 0.1, 0.1, 1),
+                                     flip_y=False, **kw)
+        return RenderRequest(output=out, camera=cam,
+                             nerfs=[NerfDescriptor(snapshot_path=str(snap))])
+
+    r = MultiNerfRenderer(march_steps=512, chunk=64)
+    base = r.render(req(spp=1))
+    multi = r.render(req(spp=3))
+    assert np.isfinite(multi).all()
+    dof = r.render(req(spp=2, aperture_size=0.2, focus_z=1.5))
+    assert np.isfinite(dof).all()
+    toned = r.render(req(spp=1, tonemap_curve=TonemapCurve.ACES))
+    assert not np.allclose(base, toned), "tonemap must change the frame"

@@ -91,3 +91,58 @@ def test_render_with_rolling_shutter_blurs():
                         rolling_shutter=(0., 0., 0., 1.))
     assert np.isfinite(img_blur).all()
     assert not np.allclose(img_static, img_blur)
+
+
+def test_quat_from_mat_all_rotation_classes():
+    """Shepperd pivot selection must survive trace ≤ 0 rotations (the
+    naive w-only form silently returned identity for a 180° rotation —
+    every fox camera render was corrupted)."""
+    import jax.numpy as jnp
+    from ngp_tpu.rays.camera import quat_from_mat, quat_to_mat
+
+    mats = [np.eye(3)]
+    for axis in ([0, 0, 1], [0, 1, 0], [1, 0, 0], [1, 1, 1]):
+        for ang in (0.3, np.pi / 2, np.pi - 1e-3, np.pi,
+                    2.5, -np.pi + 1e-3):
+            mats.append(_rot(axis, ang))
+    for m in mats:
+        q = quat_from_mat(jnp.asarray(m, jnp.float32))
+        back = np.asarray(quat_to_mat(np.asarray(q)[None])[0])
+        np.testing.assert_allclose(back, m, atol=1e-4)
+
+
+def test_renderer_rays_match_training_rays():
+    """Center-pixel renderer rays must equal the training-path rays for
+    the same camera/intrinsics (the eval PSNR is meaningless otherwise)."""
+    import jax
+    import jax.numpy as jnp
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.rays.camera import pixel_to_ray_train
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    ds = make_orbit_dataset(n_images=2, res=16)
+    # make the rotation interesting (orbit cams include trace<0 cases)
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 12
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=64, target_batch_size=512, march_steps=64))
+    W = H = 8
+    r = NerfRenderer.for_trainer(tr, RenderOptions(
+        width=W, height=H, chunk=64, march_steps=64))
+    key = jax.random.PRNGKey(0)
+    for view in range(2):
+        xf = jnp.asarray(ds.xforms[view])
+        o, d, u, v = r._gen_rays(key, 0, W * H, W, H, 20.0, 20.0, xf, xf,
+                                 jnp.asarray([0., 0., 0., 1.]),
+                                 jnp.asarray(False), motion=False)
+        xy = jnp.stack([u, v], -1)
+        n = W * H
+        ot, dt_raw = pixel_to_ray_train(
+            xy, jnp.broadcast_to(xf, (n, 3, 4)),
+            jnp.full((n, 2), 20.0), jnp.full((n, 2), 0.5),
+            jnp.full((n, 2), float(W)), jnp.zeros((n, 7)), False)
+        dt = dt_raw / jnp.linalg.norm(dt_raw, axis=-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(ot), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d), np.asarray(dt), atol=1e-5)

@@ -14,13 +14,17 @@ shuffle (tpu.dynamic_gather along the minor axis). This encoding is
 - Coarse ("dense") levels store a canonical raster vertex grid and are
   expanded to the blocked layout on the fly with strided slices (copies
   stay tied → the interpolated field stays C0-continuous, like tcnn).
-- Fine levels are "Morton-tiled": the block's Morton code modulo a
-  power-of-two row count indexes the row directly (locality-preserving
-  collision structure — nearby blocks share cache/windows, far blocks
-  collide pseudo-randomly like a spatial hash). These levels trade tcnn's
-  C0 guarantee at 3-cell block boundaries for single-row lookups; the
-  per-level feature magnitudes are small and seams never align across
-  levels.
+- Fine levels are "hash-tiled": the block coordinate is spatially hashed
+  (instant-ngp primes, arXiv 2201.05989 eq. 4) into a power-of-two row
+  count. Round-3 note: the original design used ``morton(block) % 2^k``,
+  but the LOW bits of a Morton code are spatially PERIODIC — blocks
+  separated by the tile period collide systematically, forcing the
+  fine-level field to repeat across the scene (measured as a hard PSNR
+  ceiling on fox). Prime hashing makes collisions incoherent like tcnn's,
+  at identical kernel cost (the row index is dynamic either way). These
+  levels trade tcnn's C0 guarantee at 3-cell block boundaries for
+  single-row lookups; the per-level feature magnitudes are small and
+  seams never align across levels.
 
 Parameter count per level: n_rows · 128 floats. Capacity is matched to a
 given tcnn log2_hashmap_size by choosing n_rows = 2^T · F / 128.
@@ -41,6 +45,9 @@ import jax.numpy as jnp
 import numpy as np
 
 LANES = 128
+
+# instant-ngp spatial-hash primes (paper eq. 4; identity along x)
+_HASH_PRIMES = (1, 2654435761, 805459861)
 
 
 def _block_geom(n_dims: int) -> tuple[int, int]:
@@ -96,6 +103,7 @@ class BlockedGridMeta:
     per_level_scale: float
     log2_rows: int = 11              # rows per level: uniform (L, R, 128) table
     n_features_per_level: int = 2    # fixed: 2 (packed into the 128 lanes)
+    row_hash: str = "prime"          # "prime" (tcnn-like) | "morton" (legacy)
 
     @functools.cached_property
     def level_scales(self) -> Tuple[float, ...]:
@@ -138,17 +146,21 @@ class BlockedGridMeta:
     def from_hashgrid_config(cls, enc: dict) -> "BlockedGridMeta":
         """Map a tcnn HashGrid config onto the blocked grid with matched
         parameter budget: rows = 2^log2_hashmap_size · F / 128."""
+        import os
         n_dims = int(enc["n_pos_dims"])
         F = int(enc.get("n_features_per_level", 2))
         log2_T = int(enc.get("log2_hashmap_size", 19))
         log2_rows = max(6, log2_T + int(math.log2(F)) - 7)
+        row_hash = enc.get("row_hash",
+                           os.environ.get("NGP_TPU_BLOCKED_HASH", "prime"))
         # never allocate more rows than the finest level can address
         # (small scenes/images would otherwise get giant empty tables)
         probe = cls(n_dims=n_dims,
                     n_levels=int(enc.get("n_levels", 16)),
                     base_resolution=int(enc.get("base_resolution", 16)),
                     per_level_scale=float(enc.get("per_level_scale", 2.0)),
-                    log2_rows=log2_rows, n_features_per_level=F)
+                    log2_rows=log2_rows, n_features_per_level=F,
+                    row_hash=row_hash)
         max_blocks = max(b ** n_dims for b in probe.level_blocks_per_dim)
         log2_needed = max(6, math.ceil(math.log2(max(max_blocks, 1))))
         return dataclasses.replace(probe,
@@ -193,8 +205,16 @@ def lookup_geometry(meta: BlockedGridMeta, pos: jax.Array):
     bstr = jnp.asarray(strides_per_level, jnp.int32)       # (L, D)
     dense_row = jnp.sum(block * bstr[:, :, None], axis=1)  # (L, N)
     blockT = jnp.moveaxis(block, 1, -1)                    # (L, N, D)
-    mort = morton_nd(blockT, D)
-    tiled_row = (mort & jnp.uint32(meta.rows - 1)).astype(jnp.int32)
+    if meta.row_hash == "morton":
+        h = morton_nd(blockT, D)
+    else:
+        # spatial hash of the BLOCK coordinate (instant-ngp primes):
+        # incoherent collisions — morton%2^k collides periodically
+        bu = blockT.astype(jnp.uint32)
+        h = bu[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+        for d in range(1, D):
+            h = h ^ (bu[..., d] * jnp.uint32(_HASH_PRIMES[d]))
+    tiled_row = (h & jnp.uint32(meta.rows - 1)).astype(jnp.int32)
     is_dense = jnp.asarray(meta.level_is_dense)[:, None]
     rows = jnp.where(is_dense, dense_row, tiled_row)        # (L, N), per-level
     return rows, jnp.moveaxis(local, 1, -1), jnp.moveaxis(frac, 1, -1)

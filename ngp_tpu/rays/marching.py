@@ -124,6 +124,25 @@ def compact_samples(t, dt, emit, n_rays: int, capacity: int,
     return s_t, s_dt, s_ray, counts, offsets, fits, total, s_k
 
 
+def merge_excess_samples(emit, dt, cap: int):
+    """Per-ray decimation with dt compensation on an (R, K) lattice window.
+
+    When a ray has more than ``cap`` active samples, keep every m-th
+    (m = ceil(count/cap)) and scale each kept sample's dt by the size of
+    the group it represents — optical depth is (piecewise-constantly)
+    preserved instead of truncated. The reference marches every interior
+    sample to completion (ref: src/nerf_renderer.cu:661-791); a hard
+    ``max_per_ray`` drop renders dense volumes thin (round-2 flagship
+    e2e failure). Returns (keep_mask, dt_effective).
+    """
+    c = emit.astype(jnp.int32).sum(axis=1, keepdims=True)       # (R, 1)
+    m = jnp.maximum(-(-c // cap), 1)
+    rank = jnp.cumsum(emit.astype(jnp.int32), axis=1) - 1       # 0-indexed
+    keep = emit & (rank % m == 0)
+    group = jnp.minimum(m, c - rank).astype(dt.dtype)           # ≥1 at kept
+    return keep, jnp.where(keep, dt * group, dt)
+
+
 def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int):
     """Segmented volumetric compositing on a compacted sample stream.
 

@@ -26,7 +26,8 @@ import numpy as np
 
 from ngp_tpu.common import TonemapCurve, linear_to_srgb_np
 from ngp_tpu.grid import occupancy as occ
-from ngp_tpu.rays.marching import calc_dt, compact_samples, step_lattice
+from ngp_tpu.rays.marching import (calc_dt, compact_samples,
+                                   merge_excess_samples, step_lattice)
 
 
 # --------------------------------------------------------------------------
@@ -392,9 +393,13 @@ class MultiNerfRenderer:
                 occd = occ.occupied_at(field.bitfield, pl, mip)
                 active = (inside & occd).reshape(n_rays, seg_len) & \
                     alive[:, None]
+                # no truncation: rays over the per-segment budget are
+                # DECIMATED with dt compensation (optical depth preserved;
+                # the ref marches to completion, nerf_renderer.cu:661-791)
+                active, dt_m = merge_excess_samples(
+                    active, dt, self.samples_per_ray)
                 s_t, s_dt, s_ray, counts, offsets, fits, tot, s_k = \
-                    compact_samples(t, dt, active, n_rays, S,
-                                    max_per_ray=self.samples_per_ray)
+                    compact_samples(t, dt_m, active, n_rays, S)
                 valid = s_ray < n_rays
                 rid = jnp.clip(s_ray, 0, n_rays - 1)
                 pw_s = o[rid] + s_t[:, None] * d[rid]       # world samples
@@ -407,15 +412,18 @@ class MultiNerfRenderer:
                                        -15., 15.))
                 rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
                 mask_alpha = apply_masks(masks, pw_s) if masks else 1.0
-                contrib = jnp.where(valid,
-                                    sig * opacity * mask_alpha * scale, 0.0)
+                # scatter σ·Δt (with the proxy's local-space metric and the
+                # merged Δt) so decimated samples carry their full optical
+                # depth through the composite
+                contrib = jnp.where(valid, sig * opacity * mask_alpha *
+                                    scale * s_dt, 0.0)
                 sigma_sum = sigma_sum.at[rid, s_k].add(contrib, mode="drop")
                 rgb_sum = rgb_sum.at[rid, s_k].add(contrib[:, None] * rgb,
                                                    mode="drop")
 
             # composite this segment onto the accumulated frame
             mean_rgb = rgb_sum / jnp.maximum(sigma_sum, 1e-12)[..., None]
-            sdt = sigma_sum * dt
+            sdt = sigma_sum                                 # already σ·Δt
             alpha = 1.0 - jnp.exp(-sdt)
             T = jnp.exp(-(jnp.cumsum(sdt, axis=1) - sdt))
             wgt = T * alpha

@@ -32,7 +32,7 @@ import numpy as np
 from ngp_tpu.common import RenderMode, TonemapCurve, srgb_to_linear
 from ngp_tpu.rays.camera import ray_aabb_intersect, xform_slerp
 from ngp_tpu.rays.marching import (compact_samples, composite_samples,
-                                   march_rays)
+                                   march_rays, merge_excess_samples)
 from ngp_tpu.render.buffer import tonemap
 
 
@@ -233,9 +233,13 @@ class NerfRenderer:
                 sl = slice(si * seg_len, (si + 1) * seg_len)
                 alive = jnp.exp(-logT) > opts.min_transmittance
                 emit_s = emit[:, sl] & alive[:, None]
+                # decimate-with-dt-compensation instead of truncating:
+                # optical depth is preserved for rays over the budget
+                # (the ref marches to completion, nerf_renderer.cu:661-791)
+                emit_s, dt_m = merge_excess_samples(emit_s, dt[:, sl],
+                                                    per_ray)
                 s_t, s_dt, s_ray, counts, offsets, fits, tot, _ = \
-                    compact_samples(t[:, sl], dt[:, sl], emit_s, n_rays,
-                                    S, max_per_ray=per_ray)
+                    compact_samples(t[:, sl], dt_m, emit_s, n_rays, S)
                 total = total + tot
                 rid = jnp.clip(s_ray, 0, n_rays - 1)
                 pos = o[rid] + s_t[:, None] * d[rid]

@@ -196,19 +196,35 @@ def save_exr(path: str | Path, img: np.ndarray, dtype=np.float16):
 # LDR via PIL + .bin
 # --------------------------------------------------------------------------
 
-def load_stbi(path: str | Path, premultiply: bool = True) -> np.ndarray:
+_SRGB_U8_LUT = None
+
+
+def _srgb_lut() -> np.ndarray:
+    """256-entry sRGB→linear LUT — exact for 8-bit sources and ~10×
+    faster than evaluating the transfer curve per pixel."""
+    global _SRGB_U8_LUT
+    if _SRGB_U8_LUT is None:
+        _SRGB_U8_LUT = srgb_to_linear_np(
+            np.arange(256, dtype=np.float32) / 255.0).astype(np.float32)
+    return _SRGB_U8_LUT
+
+
+def load_stbi(path: str | Path, premultiply: bool = True,
+              return_u8: bool = False):
     """Load an LDR image → linear float32 RGBA (H, W, 4).
-    sRGB → linear; alpha premultiplied in linear space (ref:
-    common_device.cu load_stbi + testbed_image.cu:400)."""
+    sRGB → linear (via LUT); alpha premultiplied in linear space (ref:
+    common_device.cu load_stbi + testbed_image.cu:400).
+    ``return_u8`` additionally returns the raw sRGB uint8 RGBA — callers
+    can ship that to the device (4× smaller) and convert per-sample."""
     from PIL import Image
     with Image.open(path) as im:
-        im = im.convert("RGBA")
-        arr = np.asarray(im, np.float32) / 255.0
-    rgb = srgb_to_linear_np(arr[..., :3])
-    a = arr[..., 3:4]
+        u8 = np.asarray(im.convert("RGBA"), np.uint8)
+    rgb = _srgb_lut()[u8[..., :3]]
+    a = u8[..., 3:4].astype(np.float32) / 255.0
     if premultiply:
         rgb = rgb * a
-    return np.concatenate([rgb, a], axis=-1).astype(np.float32)
+    out = np.concatenate([rgb, a], axis=-1)
+    return (out, u8) if return_u8 else out
 
 
 def save_stbi(path: str | Path, img: np.ndarray, from_linear: bool = True):

@@ -53,6 +53,9 @@ class NerfDataset:
     render_aabb: Optional[np.ndarray] = None  # (2,3) crop box (ngp units)
     envmap: Optional[np.ndarray] = None       # (He, We, 4) linear RGBA
     lens_mode: str = "perspective"  # perspective|opencv|ftheta|latlong
+    # sRGB uint8 originals when every image round-trips losslessly
+    # (LDR, unsharpened, unmasked) — device fast path
+    images_u8: Optional[np.ndarray] = None
 
     @property
     def n_images(self) -> int:
@@ -89,18 +92,22 @@ def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray,
 
 
 def _load_image_rgba(path: Path, white_transparent: bool = False,
-                     black_transparent: bool = False) -> np.ndarray:
+                     black_transparent: bool = False):
+    """→ (float32 linear premultiplied RGBA, sRGB uint8 RGBA or None).
+    The uint8 copy exists only when it losslessly round-trips to the
+    float image (LDR source, no transparency rewrite) — the trainer ships
+    it to the device at ¼ the bytes and converts per sampled texel."""
     from ngp_tpu.data.image_io import load_exr, load_stbi
     if path.suffix.lower() == ".exr":
         img = load_exr(path)
         if img.shape[-1] == 3:
             img = np.concatenate([img, np.ones_like(img[..., :1])], -1)
-        return img.astype(np.float32)
+        return img.astype(np.float32), None
     if white_transparent or black_transparent:
         # NSVF-style flags: pure white/black byte pixels get alpha 0
         # BEFORE premultiplying (ref: convert_rgba32, nerf_loader.cu:59-73)
         from PIL import Image
-        from ngp_tpu.data.image_io import srgb_to_linear_np
+        from ngp_tpu.data.image_io import _srgb_lut
         with Image.open(path) as im:
             arr = np.asarray(im.convert("RGBA"), np.uint8)
         a = arr[..., 3].astype(np.float32) / 255.0
@@ -109,10 +116,11 @@ def _load_image_rgba(path: Path, white_transparent: bool = False,
             a = np.where((solid == 255).all(-1), 0.0, a)
         if black_transparent:
             a = np.where((solid == 0).all(-1), 0.0, a)
-        rgb = srgb_to_linear_np(arr[..., :3].astype(np.float32) / 255.0)
-        rgb = rgb * a[..., None]
-        return np.concatenate([rgb, a[..., None]], -1).astype(np.float32)
-    return load_stbi(path)  # sRGB→linear, premultiplied
+        rgb = _srgb_lut()[arr[..., :3]] * a[..., None]
+        return np.concatenate([rgb, a[..., None]],
+                              -1).astype(np.float32), None
+    img, u8 = load_stbi(path, return_u8=True)
+    return img, u8
 
 
 def _sharpen_image(img: np.ndarray, amount: float) -> np.ndarray:
@@ -270,11 +278,14 @@ def load_nerf(paths, sharpen: float = 0.0,
         ipath = _find_image_path(dirpath, fr["file_path"])
         if ipath is None:
             return None
-        img = _load_image_rgba(ipath, white_transparent, black_transparent)
+        img, u8 = _load_image_rgba(ipath, white_transparent,
+                                   black_transparent)
         if downscale > 1:
             img = img[::downscale, ::downscale]
+            u8 = u8[::downscale, ::downscale] if u8 is not None else None
         if sharpen_amount > 0.0:
             img = _sharpen_image(img, sharpen_amount)
+            u8 = None
         H, W = img.shape[:2]
         # alpha sidecar (ref: nerf_loader.cu:586-601)
         apath = ipath.with_name(ipath.stem + ".alpha" + ipath.suffix)
@@ -282,6 +293,7 @@ def load_nerf(paths, sharpen: float = 0.0,
             from ngp_tpu.data.image_io import load_stbi
             a = load_stbi(apath, premultiply=False)[..., 0:1]
             img = np.concatenate([img[..., :3] * a, a], -1)
+            u8 = None
         # dynamic mask sidecar → negative red sentinel
         mpath = ipath.with_name("dynamic_mask_" + ipath.stem + ".png")
         if mpath.exists():
@@ -290,6 +302,7 @@ def load_nerf(paths, sharpen: float = 0.0,
                 m = np.asarray(im.convert("L"), np.float32) / 255.0
             img = img.copy()
             img[..., 0] = np.where(m > 0.5, -1.0, img[..., 0])
+            u8 = None
         # explicit per-pixel ray dumps (fork Blender workflow sidecar,
         # ref: rays_<name>.dat handling src/nerf_loader.cu:645-666 —
         # raw float32 Ray{o,d} per pixel; disables camera-derived rays)
@@ -329,7 +342,7 @@ def load_nerf(paths, sharpen: float = 0.0,
         return (img, xf, xf_end, np.array([fx, fy], np.float32),
                 np.array([cx, cy], np.float32), np.array([W, H], np.int32),
                 lens, depth, float(fr.get("sharpness", 1000.0)), ipath,
-                rays)
+                rays, u8)
 
     with ThreadPoolExecutor(max_workers=16) as pool:
         results = [r for r in pool.map(load_frame, frames) if r is not None]
@@ -358,6 +371,13 @@ def load_nerf(paths, sharpen: float = 0.0,
             if r[10] is not None:
                 h, w = r[10].shape[:2]
                 rays_arr[i, :h, :w] = r[10]
+
+    imgs_u8 = None
+    if all(r[11] is not None for r in results):
+        imgs_u8 = np.zeros((len(results), Hm, Wm, 4), np.uint8)
+        for i, r in enumerate(results):
+            h, w = r[11].shape[:2]
+            imgs_u8[i, :h, :w] = r[11]
 
     lens = np.stack([r[6] for r in results])
     # lens mode (ref: read_lens — FTheta/LatLong override OpenCV)
@@ -390,4 +410,5 @@ def load_nerf(paths, sharpen: float = 0.0,
         up=up,
         render_aabb=render_aabb,
         envmap=envmap,
+        images_u8=imgs_u8,
     )

@@ -66,9 +66,11 @@ class _DpGroupRunner:
                         tr.params, tr.grid, kk,
                         full_sweep=tr.training_step < 256)
                 tr.key, kk = jax.random.split(tr.key)
-                tr.params, tr.opt_state, loss = self.dp_step(
-                    tr.params, tr.opt_state, tr.grid.bitfield,
-                    tr.grid.mean, kk, tr.data)
+                (tr.params, tr.opt_state, tr.cam_params, tr.cam_m,
+                 tr.cam_v, tr.error_map, loss) = self.dp_step(
+                    tr.params, tr.opt_state, tr.cam_params, tr.cam_m,
+                    tr.cam_v, tr.error_map, tr.grid.bitfield,
+                    tr.grid.coarse, tr.grid.mean, kk, tr.data)
                 tr.training_step += 1
         out = float(loss) if loss is not None else 0.0
         tr.last_loss = out

@@ -174,14 +174,20 @@ class NerfRenderer:
 
     @functools.cached_property
     def _render_chunk(self):
+        """Single-chunk jitted entry (kept for tools/tests; ``render``
+        dispatches whole frames via ``_frame_fn``)."""
+        return functools.partial(
+            jax.jit(self._chunk_core,
+                    static_argnames=("n_rays", "W", "H", "motion")))
+
+    @functools.cached_property
+    def _chunk_core(self):
         opts = self.opts
         mode = opts.render_mode
         has_crop = opts.render_aabb_min is not None
         crop_min = jnp.asarray(opts.render_aabb_min or (0, 0, 0), jnp.float32)
         crop_max = jnp.asarray(opts.render_aabb_max or (1, 1, 1), jnp.float32)
 
-        @functools.partial(jax.jit,
-                           static_argnames=("n_rays", "W", "H", "motion"))
         def run(params, bitfield, xf_s, xf_e, rshutter, bg, key, pix0,
                 jitter_on, fx, fy, n_rays, W, H, motion=False):
             o, d, u, v = self._gen_rays(key, pix0, n_rays, W, H, fx, fy,
@@ -336,6 +342,42 @@ class NerfRenderer:
 
     # ------------------------------------------------------------------
 
+    def _frame_fn(self, eff_chunk: int, n_chunks: int, W: int, H: int,
+                  n_spp: int, motion: bool):
+        """Whole-frame jitted render: ONE dispatch per frame — a
+        lax.scan over pixel chunks with the spp loop folded inside
+        (the per-chunk dispatch restructure the trainer got in round 2;
+        ref throughput anchor: 'tens of ms at 1920×1080',
+        /root/reference/docs/index.html:317)."""
+        key_ = (eff_chunk, n_chunks, W, H, n_spp, motion)
+        cache = getattr(self, "_frame_fns", None)
+        if cache is None:
+            cache = self._frame_fns = {}
+        if key_ in cache:
+            return cache[key_]
+        core = self._chunk_core
+        snap = self.opts.snap_to_pixel_centers
+
+        @jax.jit
+        def run_frame(params, bitfield, xf_s, xf_e, rsh, bg, key, fx, fy):
+            def body(_, c):
+                acc = jnp.zeros((eff_chunk, 4))
+                for s in range(n_spp):         # static unroll
+                    kc = jax.random.fold_in(key, s * n_chunks + c)
+                    jitter_on = jnp.asarray((s > 0) and not snap)
+                    rgb, opac, _, _ = core(
+                        params, bitfield, xf_s, xf_e, rsh, bg, kc,
+                        c * eff_chunk, jitter_on, fx, fy, eff_chunk,
+                        W, H, motion)
+                    acc = acc + jnp.concatenate([rgb, opac[:, None]], -1)
+                return None, acc / n_spp
+            _, ys = jax.lax.scan(body, None,
+                                 jnp.arange(n_chunks, dtype=jnp.int32))
+            return ys.reshape(n_chunks * eff_chunk, 4)
+
+        cache[key_] = run_frame
+        return run_frame
+
     def render(self, params, bitfield, camera_matrix: np.ndarray,
                width: Optional[int] = None, height: Optional[int] = None,
                focal: Optional[tuple] = None, spp: Optional[int] = None,
@@ -367,24 +409,11 @@ class NerfRenderer:
         bg = jnp.asarray(opts.background, jnp.float32)
         key = jax.random.PRNGKey(seed)
 
-        acc = jnp.zeros((H * W, 4), jnp.float32)
         n_chunks = -(-H * W // eff_chunk)
-        for s in range(n_spp):
-            # first sample at pixel centers, later samples jittered
-            # per-pixel (ref: LD pixel offsets per spp)
-            jitter_on = jnp.asarray(
-                (s > 0) and not opts.snap_to_pixel_centers)
-            frame = jnp.zeros((n_chunks * eff_chunk, 4), jnp.float32)
-            for c in range(n_chunks):
-                kc = jax.random.fold_in(key, s * n_chunks + c)
-                rgb, opac, _, _ = self._render_chunk(
-                    params, bitfield, xf_s, xf_e, rsh, bg, kc,
-                    c * eff_chunk, jitter_on, fx, fy, eff_chunk, W, H,
-                    motion=camera_matrix_end is not None)
-                frame = jax.lax.dynamic_update_slice(
-                    frame, jnp.concatenate([rgb, opac[:, None]], -1),
-                    (c * eff_chunk, 0))
-            acc = (acc * s + frame[: H * W]) / (s + 1)
+        fn = self._frame_fn(eff_chunk, n_chunks, W, H, n_spp,
+                            camera_matrix_end is not None)
+        acc = fn(params, bitfield, xf_s, xf_e, rsh, bg, key,
+                 jnp.float32(fx), jnp.float32(fy))[: H * W]
 
         img = acc.reshape(H, W, 4)
         rgb = img[..., :3]

@@ -55,6 +55,7 @@ class TrainStepStats(NamedTuple):
 @dataclasses.dataclass
 class NerfTrainerConfig:
     n_rays: int = 4096               # adapted between steps (power-of-2)
+    adapt_rays: bool = True          # False pins n_rays (one compile)
     target_batch_size: int = 1 << 18
     march_steps: int = 1024          # lattice length K
     random_bg_color: bool = True
@@ -174,8 +175,12 @@ class NerfTrainer:
         # (ref: generate_training_samples_nerf :1085-1260)
         has_rs = dataset.xforms_end is not None and \
             not np.allclose(dataset.xforms, dataset.xforms_end)
+        # uint8 sRGB fast path: ¼ the host→device bytes; conversion to
+        # linear premultiplied happens per sampled texel on the VPU
+        u8 = getattr(dataset, "images_u8", None)
         self.data = {
-            "pixels": jnp.asarray(pool(dataset.images, 4, np.float16)),
+            "pixels": jnp.asarray(pool(u8, 4, np.uint8)) if u8 is not None
+            else jnp.asarray(pool(dataset.images, 4, np.float16)),
             "img_offset": jnp.asarray(offs[:-1].astype(np.int32)),
             **({"rays": jnp.asarray(pool(dataset.rays, 6, np.float32))}
                if dataset.rays is not None else {}),
@@ -298,8 +303,14 @@ class NerfTrainer:
             xy = (jnp.floor(xy * res) + 0.5) / res
         pix = jnp.clip((xy * res).astype(jnp.int32), 0,
                        res.astype(jnp.int32) - 1)
-        texsamp = data["pixels"][self._pixel_index(data, img, pix)].astype(
-            jnp.float32)
+        raw = data["pixels"][self._pixel_index(data, img, pix)]
+        if raw.dtype == jnp.uint8:
+            # sRGB uint8 → linear premultiplied (device-side fast path)
+            c = raw.astype(jnp.float32) * (1.0 / 255.0)
+            texsamp = jnp.concatenate(
+                [srgb_to_linear(c[:, :3]) * c[:, 3:4], c[:, 3:4]], axis=-1)
+        else:
+            texsamp = raw.astype(jnp.float32)
         return img, xy, texsamp, pdf
 
     @staticmethod
@@ -385,9 +396,16 @@ class NerfTrainer:
 
     def _train_step_impl(self, params, opt_state, cam, cam_m, cam_v,
                          error_map, error_state, bitfield, coarse,
-                         grid_mean, key, data, n_rays):
+                         grid_mean, key, data, n_rays, axis_name=None,
+                         capacity=None):
+        """One training step. ``axis_name`` turns the same code into the
+        data-parallel per-device step (SURVEY §2.10): rays/samples are
+        this device's shard, and gradients / counters / error-map deposits
+        are psum'd over the mesh axis — ONE loss implementation for both
+        regimes (the reference's single step driver,
+        ref: src/testbed_nerf.cu:3138-3385)."""
         tc = self.tcfg
-        S = tc.target_batch_size
+        S = capacity or tc.target_batch_size
         E = max(self.dataset.n_extra_learnable_dims, 1)
         k_ray, k_march, k_bg, k_time, key = jax.random.split(key, 5)
 
@@ -431,7 +449,13 @@ class NerfTrainer:
 
         valid = s_ray < n_rays                                  # (S,)
         has_samples = (counts > 0) & fits
-        n_eff = jnp.maximum(has_samples.sum(), 1)
+        ne = has_samples.sum()
+        if axis_name is not None:
+            # global normalizer: no params dependence, so it can be
+            # reduced BEFORE the grad pass (one backward, exact global
+            # normalization — round-1 DP drift bug class)
+            ne = jax.lax.psum(ne, axis_name)
+        n_eff = jnp.maximum(ne, 1)
         reg_on = (grid_mean < NERF_MIN_OPTICAL_THICKNESS).astype(jnp.float32)
         train_cam = (tc.optimize_extrinsics or tc.optimize_exposure or
                      tc.optimize_focal_length or tc.optimize_extra_dims or
@@ -533,6 +557,11 @@ class NerfTrainer:
                 loss_of, has_aux=True)(params, cam)
             cam_grads = None
         loss_rgb, per_ray_loss, ray_mask = aux
+        if axis_name is not None:
+            grads = jax.lax.psum(grads, axis_name)
+            loss_rgb = jax.lax.psum(loss_rgb, axis_name)
+            if cam_grads is not None:
+                cam_grads = jax.lax.psum(cam_grads, axis_name)
         params, opt_state = apply_update(params, grads, opt_state,
                                          self.opt_cfg, self.matrix_mask)
 
@@ -572,19 +601,29 @@ class NerfTrainer:
         posf = jnp.clip(xy * em - 0.5, 0.0, em - 1.0 - 1e-4)
         p0 = jnp.minimum(posf.astype(jnp.int32), em - 2)
         wxy = posf - p0
+        dep_map = jnp.zeros_like(error_map)
         for dy in (0, 1):
             for dx in (0, 1):
                 wgt = (wxy[:, 0] if dx else 1 - wxy[:, 0]) * \
                       (wxy[:, 1] if dy else 1 - wxy[:, 1])
-                error_map = error_map.at[
+                dep_map = dep_map.at[
                     img, p0[:, 1] + dy, p0[:, 0] + dx].add(
                     dep * wgt, mode="drop")
+        if axis_name is not None:
+            dep_map = jax.lax.psum(dep_map, axis_name)
+        error_map = error_map + dep_map
 
+        nrws = has_samples.sum()
+        S_glob = S
+        if axis_name is not None:
+            total = jax.lax.psum(total, axis_name)
+            nrws = jax.lax.psum(nrws, axis_name)
+            S_glob = S * jax.lax.psum(1, axis_name)
         stats = TrainStepStats(
             loss=loss_rgb / 3.0,
-            measured_samples=jnp.minimum(total, S),
+            measured_samples=jnp.minimum(total, S_glob),
             measured_samples_uncompacted=total,
-            n_rays_with_samples=has_samples.sum(),
+            n_rays_with_samples=nrws,
         )
         return params, opt_state, cam, cam_m, cam_v, error_map, stats, key
 
@@ -641,7 +680,7 @@ class NerfTrainer:
         loss = float(loss_dev)
         self.last_loss = loss
         measured = int(measured_dev)
-        if measured > 0:
+        if measured > 0 and tc.adapt_rays:
             ideal = n_rays * tc.target_batch_size / measured
             # growth-limited (≤2× per update): every distinct n_rays is a
             # fresh XLA compile (45-130 s through the axon tunnel), and an

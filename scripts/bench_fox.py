@@ -23,6 +23,8 @@ def main():
     p.add_argument("--eval_scale", type=int, default=4,
                    help="downscale factor for the eval render")
     p.add_argument("--grid_impl", default="blocked")
+    p.add_argument("--fixed_rays", type=int, default=0,
+                   help="pin n_rays (avoids recompiles on shape changes)")
     p.add_argument("--world_scale", type=float, default=0.33,
                    help="upstream instant-ngp mapping for classic captures")
     p.add_argument("--world_offset", type=float, nargs=3,
@@ -30,18 +32,27 @@ def main():
     args = p.parse_args()
     os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
 
+    import time as _t
     from ngp_tpu.common import linear_to_srgb_np
     from ngp_tpu.config import load_network_config
     from ngp_tpu.data.nerf_loader import load_nerf
     from ngp_tpu.opt.optimizers import inference_params
     from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
-    from ngp_tpu.train.nerf import NerfTrainer
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
 
+    tl = _t.time()
     ds = load_nerf(args.scene, scale=args.world_scale,
                    offset=args.world_offset)
+    print("load_nerf %.1fs" % (_t.time() - tl), flush=True)
     cfg = load_network_config("configs/nerf/base.json")
-    tr = NerfTrainer(ds, cfg)
-    print("init done; grid impl:", args.grid_impl, flush=True)
+    tcfg = NerfTrainerConfig()
+    if args.fixed_rays:
+        tcfg.n_rays = args.fixed_rays
+        tcfg.adapt_rays = False
+    tl = _t.time()
+    tr = NerfTrainer(ds, cfg, tcfg=tcfg)
+    print("init done %.1fs; grid impl: %s" % (_t.time() - tl,
+                                              args.grid_impl), flush=True)
 
     W = int(ds.resolution[args.eval_view][0]) // args.eval_scale
     H = int(ds.resolution[args.eval_view][1]) // args.eval_scale
@@ -53,11 +64,11 @@ def main():
     renderer = None
 
     t0 = time.time()
-    tr.train(1)
-    print("first step (compile) %.1fs" % (time.time() - t0), flush=True)
+    tr.train(tr.tcfg.n_steps_between_grid_updates)
+    print("first chunk (compile) %.1fs" % (time.time() - t0), flush=True)
 
     t_train0 = time.time()
-    steps_done = 1
+    steps_done = tr.training_step
     while steps_done < args.n_steps:
         k = min(args.eval_every, args.n_steps - steps_done)
         ts = time.time()

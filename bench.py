@@ -30,18 +30,25 @@ CHILD = r"""
 import json, os, time
 import numpy as np
 os.environ["NGP_TPU_GRID_IMPL"] = "blocked"
+# persistent XLA compile cache: tunnel compiles can run minutes; the cache
+# amortizes them across bench invocations on the same machine
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 from ngp_tpu.common import linear_to_srgb_np
 from ngp_tpu.config import load_network_config
 from ngp_tpu.data.nerf_loader import load_nerf
 from ngp_tpu.opt.optimizers import inference_params
 from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
-from ngp_tpu.train.nerf import NerfTrainer
+from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
 
 # upstream instant-ngp world mapping — REQUIRED for the classic fox capture
 ds = load_nerf("/root/reference/data/nerf/fox", scale=0.33,
                offset=[0.5, 0.5, 0.5])
 cfg = load_network_config("configs/nerf/base.json")
-tr = NerfTrainer(ds, cfg)
+# pinned ray count: every distinct n_rays is a fresh XLA compile (minutes
+# through the tunnel); 8192 rays x ~32 samples matches the 2^18 batch
+tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(n_rays=8192,
+                                                 adapt_rays=False))
 
 view, scale = 0, 4
 W = int(ds.resolution[view][0]) // scale

@@ -501,7 +501,12 @@ class Testbed:
 
     def save_snapshot(self, path, include_optimizer_state: bool = False):
         if hasattr(self.trainer, "save_snapshot"):
-            self.trainer.save_snapshot(path, self.network_config)
+            import inspect
+            kw = {}
+            if "include_optimizer_state" in inspect.signature(
+                    self.trainer.save_snapshot).parameters:
+                kw["include_optimizer_state"] = include_optimizer_state
+            self.trainer.save_snapshot(path, self.network_config, **kw)
             return
         # generic trainers (image/sdf/volume): params + EMA only
         import jax
@@ -672,11 +677,20 @@ class Testbed:
 
     def compute_and_save_marching_cubes_mesh(self, filename,
                                              resolution=(256, 256, 256),
-                                             thresh: float = 2.5):
-        from ngp_tpu.render.mesh_export import save_obj, save_ply
+                                             thresh: float = 2.5,
+                                             unwrap_it: bool = False):
+        """ref: compute_and_save_marching_cubes_mesh + save_mesh
+        (src/marching_cubes.cu:823-944); ``unwrap_it`` emits the
+        quad-atlas UV unwrap + debug .tga texture."""
+        from ngp_tpu.render.mesh_export import (save_obj,
+                                                save_obj_unwrapped,
+                                                save_ply)
         m = self.compute_marching_cubes_mesh(resolution, thresh)
         if str(filename).endswith(".ply"):
             save_ply(filename, m["V"], m["F"], m["C"])
+        elif unwrap_it:
+            save_obj_unwrapped(filename, m["V"], m["F"], m.get("C"),
+                               m["N"])
         else:
             save_obj(filename, m["V"], m["F"], m["N"])
 

@@ -40,12 +40,15 @@ def make_dp_train_step(trainer, mesh: Mesh, n_rays_per_device: int = 1024,
             trainer.tcfg.sample_focal_plane_proportional_to_error) \
         else {"cdf_x": None, "cdf_y": None, "cdf_img": None}
 
+    import jax.numpy as jnp
+    sharp0 = jnp.zeros((1,), jnp.float32)
+
     def per_device(params, opt_state, cam, cam_m, cam_v, error_map,
                    bitfield, coarse, grid_mean, key, data):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        params, opt_state, cam, cam_m, cam_v, error_map, stats, _ = \
+        params, opt_state, cam, cam_m, cam_v, error_map, _, stats, _ = \
             trainer._train_step_impl(
-                params, opt_state, cam, cam_m, cam_v, error_map,
+                params, opt_state, cam, cam_m, cam_v, error_map, sharp0,
                 err_state, bitfield, coarse, grid_mean, key, data,
                 n_rays=n_rays_per_device, axis_name="data",
                 capacity=samples_per_device)

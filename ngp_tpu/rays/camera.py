@@ -170,3 +170,94 @@ def xform_slerp(xf_a: jnp.ndarray, xf_b: jnp.ndarray, t: jnp.ndarray):
     q = quat_slerp(qa, qb, t)
     R = quat_to_mat(q)
     return jnp.concatenate([R, pos[:, :, None]], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# VR / lenticular-display helpers (ref: common_device.cuh:320-400,541-560)
+# --------------------------------------------------------------------------
+
+def apply_quilting(x, y, resolution, parallax_shift, quilting_dims):
+    """Map full-frame pixel coords onto a quilt of per-view panels and
+    derive each panel's parallax head shift (ref: apply_quilting,
+    common_device.cuh:541-560). ``quilting_dims == (2, 1)`` is the VR
+    stereo case (parallax_shift.x = IPD); otherwise a HoloPlay-style
+    lenticular fan of views (max 17.5° parallax).
+
+    x, y: (N,) pixel coords; parallax_shift: (3,) base shift.
+    Returns (x_panel, y_panel, parallax_shift (N, 3)).
+    """
+    qx, qy = int(quilting_dims[0]), int(quilting_dims[1])
+    resx = resolution[0] / qx
+    resy = resolution[1] / qy
+    panelx = jnp.floor(x / resx)
+    panely = jnp.floor(y / resy)
+    x = x - panelx * resx
+    y = y - panely * resy
+    idx = panelx + qx * panely
+    ps = jnp.broadcast_to(jnp.asarray(parallax_shift, jnp.float32),
+                          x.shape + (3,))
+    if (qx, qy) == (2, 1):
+        px = jnp.where(idx > 0, -0.5 * ps[..., 0], 0.5 * ps[..., 0])
+    else:
+        max_parallax_angle = 17.5
+        ang = max_parallax_angle * jnp.pi / 180.0 * \
+            ((idx + 0.5) * 2.0 / float(qx * qy) - 1.0)
+        px = jnp.arctan(ang) / jnp.maximum(ps[..., 2], 1e-9)
+    ps = ps.at[..., 0].set(px)
+    return x, y, ps
+
+
+def pos_to_pixel(pos, resolution, focal, xform, screen_center,
+                 parallax_shift=(0.0, 0.0, 0.0), lens_params=None,
+                 lens_is_opencv=False):
+    """Project world positions back to pixel coordinates — the inverse of
+    pixel_to_ray (ref: pos_to_pixel, common_device.cuh:320-355).
+
+    pos: (N, 3); xform: (3, 4) camera→world. Returns (N, 2) pixels.
+    """
+    ps = jnp.asarray(parallax_shift, jnp.float32)
+    head = jnp.array([ps[0], ps[1], 0.0])
+    R = xform[:, :3]
+    origin = R @ head + xform[:, 3]
+    d = pos - origin[None]
+    d = d @ R            # R^-1 = R^T applied row-wise: d·R == R^T·d
+    d = d / d[:, 2:3]
+    d = d + head[None] * ps[2]
+    u, v = d[:, 0], d[:, 1]
+    if lens_is_opencv and lens_params is not None:
+        k1, k2, p1, p2 = (float(lens_params[i]) for i in range(4))
+        r2 = u * u + v * v
+        rad = k1 * r2 + k2 * r2 * r2
+        du = u * rad + 2 * p1 * u * v + p2 * (r2 + 2 * u * u)
+        dv = v * rad + 2 * p2 * u * v + p1 * (r2 + 2 * v * v)
+        u, v = u + du, v + dv
+    return jnp.stack([
+        u * focal[0] + screen_center[0] * resolution[0],
+        v * focal[1] + screen_center[1] * resolution[1]], -1)
+
+
+def motion_vector_3d(pixel_xy, resolution, focal, xform, prev_xform,
+                     screen_center, depth, parallax_shift=(0.0, 0.0, 0.0),
+                     lens_params=None, lens_is_opencv=False):
+    """Screen-space 3D motion vectors: reproject each pixel's hit point
+    (at ``depth`` along its ray) through the PREVIOUS camera and return
+    prev_pixel - pixel (ref: motion_vector_3d, common_device.cuh:356-400;
+    consumed by TAA/DLSS in the GUI build — headless parity surface).
+
+    pixel_xy: (N, 2) sub-pixel coords; depth: (N,).
+    """
+    ps = jnp.asarray(parallax_shift, jnp.float32)
+    u = (pixel_xy[:, 0] / resolution[0] - screen_center[0]) * \
+        resolution[0] / focal[0]
+    v = (pixel_xy[:, 1] / resolution[1] - screen_center[1]) * \
+        resolution[1] / focal[1]
+    d_cam = jnp.stack([u, v, jnp.ones_like(u)], -1)
+    head = jnp.array([ps[0], ps[1], 0.0])
+    d_cam = d_cam - head[None] * ps[2]
+    R = xform[:, :3]
+    d_world = d_cam @ R.T
+    origin = R @ head + xform[:, 3]
+    pos = origin[None] + d_world * depth[:, None]
+    prev = pos_to_pixel(pos, resolution, focal, prev_xform, screen_center,
+                        parallax_shift, lens_params, lens_is_opencv)
+    return prev - pixel_xy

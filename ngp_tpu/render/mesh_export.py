@@ -155,6 +155,72 @@ def save_obj(path, verts, faces, normals: Optional[np.ndarray] = None):
                 f.write("f %d %d %d\n" % tuple(face))
 
 
+def save_obj_unwrapped(path, verts, faces,
+                       colors: Optional[np.ndarray] = None,
+                       normals: Optional[np.ndarray] = None):
+    """OBJ export with the reference's quad-atlas UV unwrap
+    (ref: save_mesh, src/marching_cubes.cu:823-944): every pair of
+    consecutive triangles maps to one (quadresx × quadresy) cell of a
+    texture atlas; per-corner vt coordinates follow the reference's
+    6-corner table, and a per-quad debug checker texture is written as
+    ``<path>.tga`` with the same hash colors (t·923/3572/5423 & 255)."""
+    faces = np.asarray(faces, np.int64)
+    n_idx = faces.size
+    numquads = (n_idx // 3 + 1) // 2
+    numquadsx = int(np.sqrt(max(numquads, 1)) + 4) & ~3
+    numquadsy = (numquads + numquadsx - 1) // numquadsx
+    quadresy = 8
+    quadresx = quadresy + 3
+    texw, texh = quadresx * numquadsx, quadresy * numquadsy
+
+    # debug atlas texture (ref :845-868)
+    ya, xa = np.mgrid[0:texh, 0:texw]
+    q = xa // quadresx + (ya // quadresy) * numquadsx
+    t = q * 2 + ((xa % quadresx) > (ya % quadresy) + 1)
+    tex = np.stack([(t * 923) & 255, (t * 3572) & 255,
+                    (t * 5423) & 255], -1).astype(np.uint8)
+    try:
+        from PIL import Image
+        Image.fromarray(tex).save(str(path) + ".tga")
+    except Exception:
+        pass
+
+    # per-index vt: corner offsets within the quad (ref :925-933)
+    i = np.arange(n_idx)
+    qi = i // 6
+    x = (qi % numquadsx) * quadresx
+    y = (qi // numquadsx) * quadresy
+    d = quadresy - 1
+    m = i % 6
+    x = x + np.select([m == 1, m == 3, m == 4, m == 5],
+                      [d, 3, 3 + d, 3 + d], 0)
+    y = y + np.where((m == 1) | (m == 2) | (m == 5), d, 0)
+    vts = np.stack([(x + 0.5) / texw, 1.0 - (y + 0.5) / texh], -1)
+
+    with open(path, "w") as f:
+        f.write("mtllib nerf.mtl\n")
+        if colors is not None:
+            c = np.clip(colors, 0.0, 1.0)
+            for v, cc in zip(verts, c):
+                f.write("v %0.5f %0.5f %0.5f %0.3f %0.3f %0.3f\n"
+                        % (*v, *cc))
+        else:
+            for v in verts:
+                f.write("v %0.5f %0.5f %0.5f\n" % tuple(v))
+        if normals is None:
+            normals = vertex_normals(np.asarray(verts, np.float32), faces)
+        for n in normals:
+            f.write("vn %0.5f %0.5f %0.5f\n" % tuple(n))
+        for vt in vts:
+            f.write("vt %0.5f %0.5f\n" % tuple(vt))
+        f.write("g default\nusemtl nerf\ns 1\n")
+        # ref emits faces reversed (index order 2,1,0) with vt i+3,i+2,i+1
+        for k in range(0, n_idx, 3):
+            a, b, c3 = faces.reshape(-1, 3)[k // 3] + 1
+            f.write("f %d/%d/%d %d/%d/%d %d/%d/%d\n"
+                    % (c3, k + 3, c3, b, k + 2, b, a, k + 1, a))
+
+
 def save_ply(path, verts, faces, colors: Optional[np.ndarray] = None):
     with open(path, "wb") as f:
         hdr = ["ply", "format binary_little_endian 1.0",

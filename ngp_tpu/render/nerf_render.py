@@ -62,6 +62,12 @@ class RenderOptions:
     exposure: float = 0.0
     tonemap_curve: TonemapCurve = TonemapCurve.IDENTITY
     snap_to_pixel_centers: bool = False  # eval protocol (ref run.py:228-241)
+    # VR / lenticular quilting + parallax head shift
+    # (ref: apply_quilting common_device.cuh:541-560; pixel_to_ray
+    # parallax handling :302-306). quilting_dims (2,1) = stereo VR
+    # (parallax_shift.x = IPD); larger grids = HoloPlay view fans.
+    parallax_shift: tuple = (0.0, 0.0, 0.0)
+    quilting_dims: tuple = (1, 1)
     slice_plane_z: float = 0.0           # SLICE mode plane offset
     visualized_level: int = 0            # ENCODING_VIS level
     # glow bitmask (ref: glow_mode/glow_y_cutoff, composite_kernel_nerf
@@ -109,10 +115,20 @@ class NerfRenderer:
         idx = pix0 + jnp.arange(n_rays, dtype=jnp.int32)
         px = (idx % W).astype(jnp.float32)
         py = (idx // W).astype(jnp.float32)
+        ps = jnp.broadcast_to(
+            jnp.asarray(opts.parallax_shift, jnp.float32), (n_rays, 3))
+        qx, qy = (int(q) for q in opts.quilting_dims)
+        We, He = W, H
+        if (qx, qy) != (1, 1):
+            from ngp_tpu.rays.camera import apply_quilting
+            px, py, ps = apply_quilting(px, py, (W, H),
+                                        opts.parallax_shift,
+                                        (qx, qy))
+            We, He = W // qx, H // qy
         kj, kt, ka = jax.random.split(key, 3)
         jit = jnp.where(jitter_on, jax.random.uniform(kj, (n_rays, 2)), 0.5)
-        u = (px + jit[:, 0]) / W
-        v = (py + jit[:, 1]) / H
+        u = (px + jit[:, 0]) / We
+        v = (py + jit[:, 1]) / He
         lens_mode = opts.lens_mode
         if lens_mode == "auto":
             lens_mode = "opencv" if any(abs(p) > 0 for p in
@@ -129,8 +145,8 @@ class NerfRenderer:
                 jnp.stack([u - cx, v - cy], -1), lp,
                 jnp.asarray([0.0, 0.0, 1.0]))
         else:
-            dx = (u - cx) * W / fx
-            dy = (v - cy) * H / fy
+            dx = (u - cx) * We / fx
+            dy = (v - cy) * He / fy
             if lens_mode == "opencv":
                 from ngp_tpu.rays.camera import iterative_opencv_undistort
                 k1, k2, p1, p2 = opts.lens_params[:4]
@@ -148,7 +164,11 @@ class NerfRenderer:
         else:
             xf = jnp.broadcast_to(xf_s[None], (n_rays, 3, 4))
 
-        o_cam = jnp.zeros((n_rays, 3))
+        # parallax head shift (ref: pixel_to_ray :302-306): rays originate
+        # from the (camera-space) head position and tilt toward it
+        head = ps.at[:, 2].set(0.0)
+        o_cam = head
+        d_cam = d_cam - head * ps[:, 2:3]
         if opts.aperture_size > 0.0:
             # Shirley square→disk (ref: square2disk_shirley)
             ab = jax.random.uniform(ka, (n_rays, 2)) * 2.0 - 1.0
@@ -160,8 +180,10 @@ class NerfRenderer:
                             (a / jnp.where(b == 0, 1, b)))
             blur = opts.aperture_size * jnp.stack(
                 [r * jnp.cos(phi), r * jnp.sin(phi)], -1)
-            o_cam = jnp.concatenate([blur, jnp.zeros((n_rays, 1))], -1)
-            d_cam = (d_cam * opts.focus_z - o_cam) / opts.focus_z
+            lookat = o_cam + d_cam * opts.focus_z
+            o_cam = o_cam + jnp.concatenate(
+                [blur, jnp.zeros((n_rays, 1))], -1)
+            d_cam = (lookat - o_cam) / opts.focus_z
 
         d_world = jnp.einsum("nij,nj->ni", xf[:, :, :3], d_cam)
         o_world = xf[:, :, 3] + jnp.einsum("nij,nj->ni", xf[:, :, :3], o_cam)

@@ -45,6 +45,31 @@ from ngp_tpu.rays.marching import (calc_dt, compact_samples, cone_angle_for,
                                    march_rays, step_lattice)
 
 
+SHARPNESS_RES = 64  # per-image sharpness-map resolution
+
+
+def _sharpness_maps(dataset) -> np.ndarray:
+    """(I, S, S) local sharpness per image: mean squared 4-neighbor
+    Laplacian of luminance over tiles (the metric the reference's loader
+    feeds into sharpness_data; ref: compute_sharpness usage)."""
+    S = SHARPNESS_RES
+    out = np.zeros((dataset.n_images, S, S), np.float32)
+    for i in range(dataset.n_images):
+        w, h = (int(x) for x in dataset.resolution[i])
+        img = dataset.images[i][:h, :w]
+        lum = img[..., :3].mean(-1)
+        lap = np.abs(4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
+                     - lum[1:-1, :-2] - lum[1:-1, 2:])
+        ys = np.minimum((np.arange(h - 2) * S) // max(h - 2, 1), S - 1)
+        xs = np.minimum((np.arange(w - 2) * S) // max(w - 2, 1), S - 1)
+        cnt = np.zeros((S, S), np.float64)
+        acc = np.zeros((S, S), np.float64)
+        np.add.at(acc, (ys[:, None], xs[None, :]), lap ** 2)
+        np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
+        out[i] = (acc / np.maximum(cnt, 1.0)).astype(np.float32)
+    return out
+
+
 class TrainStepStats(NamedTuple):
     loss: jax.Array
     measured_samples: jax.Array          # compacted samples this step
@@ -223,6 +248,22 @@ class NerfTrainer:
         # error map for importance sampling (ref: §2.2 error-map CDFs)
         em = self.tcfg.error_map_res
         self.error_map = jnp.zeros((I, em, em))
+        # sharpness grid (ref: testbed_nerf.cu:1476-1481 deposit + :557
+        # decay): per-cell max of the depositing image's LOCAL sharpness;
+        # error-map deposits are scaled by sharp/grid_sharp so blurry
+        # views stop attracting samples at 3D points a sharper view has
+        # seen. Only consumed by importance sampling — built lazily.
+        self._use_sharpness = (
+            (self.tcfg.sample_image_proportional_to_error or
+             self.tcfg.sample_focal_plane_proportional_to_error)
+            and dataset.images is not None)
+        if self._use_sharpness:
+            self.data["sharpness_maps"] = jnp.asarray(
+                _sharpness_maps(dataset), jnp.float32)
+            self.sharpness_grid = jnp.zeros(
+                (occ.GRID_VOLUME * (self.max_cascade + 1),), jnp.float32)
+        else:
+            self.sharpness_grid = jnp.zeros((1,), jnp.float32)
 
         self.training_step = 0
         self.loss_scalar_ema = 0.0
@@ -395,9 +436,9 @@ class NerfTrainer:
     # ------------------------------------------------------------------
 
     def _train_step_impl(self, params, opt_state, cam, cam_m, cam_v,
-                         error_map, error_state, bitfield, coarse,
-                         grid_mean, key, data, n_rays, axis_name=None,
-                         capacity=None):
+                         error_map, sharp_grid, error_state, bitfield,
+                         coarse, grid_mean, key, data, n_rays,
+                         axis_name=None, capacity=None):
         """One training step. ``axis_name`` turns the same code into the
         data-parallel per-device step (SURVEY §2.10): rays/samples are
         this device's shard, and gradients / counters / error-map deposits
@@ -520,13 +561,14 @@ class NerfTrainer:
             ray_mask = has_samples.astype(jnp.float32)
             loss_rgb = jnp.sum(per_c * ray_mask[:, None]) / n_eff
 
-            # depth supervision: composite expected ray depth Σ w·t and
-            # penalize vs the (ray-distance) depth target where one exists
-            # (ref: depth_ray accumulation :1368, lg_depth :1451-1452,
+            # expected ray depth Σ w·t (depth supervision + sharpness-grid
+            # hitpoint; ref: depth_ray accumulation :1368)
+            depth_ray = jnp.zeros((n_rays,)).at[s_ray].add(
+                w * s_t, mode="drop")
+            # depth supervision: penalize vs the (ray-distance) depth
+            # target where one exists (ref: lg_depth :1451-1452,
             # per-sample gradient :1537-1540 — autodiff of the same math)
             if depth_tgt is not None:
-                depth_ray = jnp.zeros((n_rays,)).at[s_ray].add(
-                    w * s_t, mode="drop")
                 dloss = self.depth_loss(depth_tgt[:, None],
                                         depth_ray[:, None])[:, 0]
                 dmask = ray_mask * (depth_tgt > 0.0)
@@ -547,7 +589,7 @@ class NerfTrainer:
                     jnp.sum(cam_p["rot"] ** 2) + jnp.sum(cam_p["trans"] ** 2))
             per_ray_loss = per_c.mean(-1) * ray_mask
             return (loss_rgb + reg) * LOSS_SCALE, \
-                (loss_rgb, per_ray_loss, ray_mask)
+                (loss_rgb, per_ray_loss, ray_mask, depth_ray, T_end)
 
         if train_cam:
             (scaled_loss, aux), (grads, cam_grads) = jax.value_and_grad(
@@ -556,7 +598,7 @@ class NerfTrainer:
             (scaled_loss, aux), grads = jax.value_and_grad(
                 loss_of, has_aux=True)(params, cam)
             cam_grads = None
-        loss_rgb, per_ray_loss, ray_mask = aux
+        loss_rgb, per_ray_loss, ray_mask, depth_ray, T_end = aux
         if axis_name is not None:
             grads = jax.lax.psum(grads, axis_name)
             loss_rgb = jax.lax.psum(loss_rgb, axis_name)
@@ -598,6 +640,27 @@ class NerfTrainer:
         # left importance-weighted, ref comment at :1455-1458).
         em = tc.error_map_res
         dep = per_ray_loss / jnp.maximum(samp_pdf, 1e-12)
+        if self._use_sharpness:
+            # per-cell max-sharpness deposit + loss down-weighting of
+            # blurrier-than-best views (ref: testbed_nerf.cu:1476-1481)
+            opac = 1.0 - T_end
+            hit = o0 + (depth_ray / jnp.maximum(opac, 1e-6))[:, None] * d0
+            inb = jnp.all((hit >= self.aabb_min) &
+                          (hit <= self.aabb_min + self.aabb_size), -1) & \
+                has_samples
+            sp = jnp.clip((xy * SHARPNESS_RES).astype(jnp.int32), 0,
+                          SHARPNESS_RES - 1)
+            sharp = data["sharpness_maps"][img, sp[:, 1], sp[:, 0]] + 1e-6
+            mip = occ.mip_from_pos(hit, self.max_cascade)
+            cell = occ.cell_idx_at(hit, mip) + mip * occ.GRID_VOLUME
+            old = sharp_grid[cell]
+            sharp_grid = sharp_grid.at[cell].max(
+                jnp.where(inb, sharp, 0.0), mode="drop")
+            if axis_name is not None:
+                sharp_grid = jax.lax.pmax(sharp_grid, axis_name)
+            grid_sharp = jnp.maximum(sharp, old)
+            dep = dep * jnp.where(inb,
+                                  jnp.maximum(sharp / grid_sharp, 0.01), 1.0)
         posf = jnp.clip(xy * em - 0.5, 0.0, em - 1.0 - 1e-4)
         p0 = jnp.minimum(posf.astype(jnp.int32), em - 2)
         wxy = posf - p0
@@ -625,7 +688,8 @@ class NerfTrainer:
             measured_samples_uncompacted=total,
             n_rays_with_samples=nrws,
         )
-        return params, opt_state, cam, cam_m, cam_v, error_map, stats, key
+        return (params, opt_state, cam, cam_m, cam_v, error_map,
+                sharp_grid, stats, key)
 
     # ------------------------------------------------------------------
     # occupancy-grid maintenance
@@ -703,19 +767,21 @@ class NerfTrainer:
             return fn
 
         def chunk(params, opt_state, cam, cam_m, cam_v, error_map,
-                  err_state, bitfield, coarse, grid_mean, key, data):
+                  sharp_grid, err_state, bitfield, coarse, grid_mean, key,
+                  data):
             def body(c, _):
-                p, o, cm, m, v, em, k = c
-                p, o, cm, m, v, em, stats, k = self._train_step_impl(
-                    p, o, cm, m, v, em, err_state, bitfield, coarse,
+                p, o, cm, m, v, em, sg, k = c
+                p, o, cm, m, v, em, sg, stats, k = self._train_step_impl(
+                    p, o, cm, m, v, em, sg, err_state, bitfield, coarse,
                     grid_mean, k, data, n_rays=n_rays)
-                return (p, o, cm, m, v, em, k), \
+                return (p, o, cm, m, v, em, sg, k), \
                     (stats.loss, stats.measured_samples)
-            c0 = (params, opt_state, cam, cam_m, cam_v, error_map, key)
+            c0 = (params, opt_state, cam, cam_m, cam_v, error_map,
+                  sharp_grid, key)
             c, (losses, measured) = jax.lax.scan(body, c0, None, length=T)
             return c + (losses.mean(), measured[-1])
 
-        fn = jax.jit(chunk, donate_argnums=(0, 1, 2, 3, 4, 5))
+        fn = jax.jit(chunk, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._chunk_fns[(n_rays, T)] = fn
         return fn
 
@@ -738,6 +804,10 @@ class NerfTrainer:
                 self.grid = self._grid_update(
                     self.params, self.grid, k,
                     full_sweep=self.training_step < 256)
+                if self._use_sharpness:
+                    # ref: decay_sharpness_grid_nerf (testbed_nerf.cu:557)
+                    self.sharpness_grid = self.sharpness_grid * \
+                        self.tcfg.density_grid_decay
             if (tc.sample_image_proportional_to_error or
                     tc.sample_focal_plane_proportional_to_error) and \
                     self._steps_since_error_map_update >= \
@@ -749,10 +819,12 @@ class NerfTrainer:
             n_rays = self.tcfg.n_rays
             fn = self._chunk_fn(n_rays, k_chunk)
             (self.params, self.opt_state, self.cam_params, self.cam_m,
-             self.cam_v, self.error_map, self.key, loss_dev, measured) = fn(
+             self.cam_v, self.error_map, self.sharpness_grid, self.key,
+             loss_dev, measured) = fn(
                 self.params, self.opt_state, self.cam_params, self.cam_m,
-                self.cam_v, self.error_map, err_state, self.grid.bitfield,
-                self.grid.coarse, self.grid.mean, self.key, self.data)
+                self.cam_v, self.error_map, self.sharpness_grid, err_state,
+                self.grid.bitfield, self.grid.coarse, self.grid.mean,
+                self.key, self.data)
             pending = (loss_dev, measured, n_rays)
             self.training_step += k_chunk
             self._steps_since_error_map_update += k_chunk
@@ -788,9 +860,20 @@ class NerfTrainer:
 
     # snapshot I/O ------------------------------------------------------
 
-    def save_snapshot(self, path, network_config: dict):
-        """ref: Testbed::save_snapshot (src/testbed.cu:3008-3042)."""
+    def save_snapshot(self, path, network_config: dict,
+                      include_optimizer_state: bool = False):
+        """ref: Testbed::save_snapshot (src/testbed.cu:3008-3042).
+        ``include_optimizer_state`` also stores the Adam moments + step so
+        resume reproduces training dynamics (ref: the
+        include_optimizer_state flag at src/testbed.cu:3008)."""
         from ngp_tpu.io.snapshot import save_snapshot
+        extra = None
+        if include_optimizer_state:
+            extra = {"ngp_tpu_optimizer": {
+                "step": np.asarray(self.opt_state.step),
+                "mu": jax.tree.map(np.asarray, self.opt_state.mu),
+                "nu": jax.tree.map(np.asarray, self.opt_state.nu),
+            }}
         save_snapshot(
             path, network_config,
             params=jax.tree.map(np.asarray, self.params),
@@ -802,16 +885,25 @@ class NerfTrainer:
             aabb_min=[float(self.aabb_min)] * 3,
             aabb_max=[float(self.aabb_min + self.aabb_size)] * 3,
             rays_per_batch=self.tcfg.n_rays,
+            extra=extra,
         )
 
     def load_snapshot_state(self, path):
-        """Restore params/EMA/grid from a snapshot written by this class."""
+        """Restore params/EMA/grid (+Adam moments when present) from a
+        snapshot written by this class."""
         from ngp_tpu.io.snapshot import load_snapshot
         doc = load_snapshot(path)
         snap = doc["snapshot"]
         self.params = jax.tree.map(jnp.asarray, snap["ngp_tpu_params"])
         self.opt_state = self.opt_state._replace(
             ema_params=jax.tree.map(jnp.asarray, snap["ngp_tpu_ema_params"]))
+        if "ngp_tpu_optimizer" in snap:
+            from ngp_tpu.io.snapshot import _unpack_tree
+            opt = _unpack_tree(snap["ngp_tpu_optimizer"])
+            self.opt_state = self.opt_state._replace(
+                step=jnp.asarray(opt["step"]),
+                mu=jax.tree.map(jnp.asarray, opt["mu"]),
+                nu=jax.tree.map(jnp.asarray, opt["nu"]))
         if "density_grid" in snap:
             density = jnp.asarray(snap["density_grid"][: self.grid.density.size])
             self.grid = occ.rebuild_bitfield(

@@ -31,7 +31,9 @@ class SdfTrainer:
 
     def __init__(self, mesh_path, config: dict, seed: int = 1337,
                  batch_size: int = 1 << 18,
-                 sign_mode: int = TriangleBvh.MODE_RAYSTAB):
+                 sign_mode: int = TriangleBvh.MODE_RAYSTAB,
+                 use_octree_uniform: Optional[bool] = None,
+                 octree_depth: int = 7):
         self.vertices, self.faces, self.mesh_scale, self.mesh_offset = \
             load_mesh(mesh_path)
         self.bvh = TriangleBvh(self.vertices, self.faces)
@@ -89,6 +91,38 @@ class SdfTrainer:
         # perturbation stddevs relative to unit cube (ref: :1120-1132)
         self.perturb_sigma = 1.0 / 1024.0 * 4.0
 
+        # octree-uniform sampling (ref: uniform_octree_sample_kernel,
+        # src/testbed_sdf.cu:1118-1143): when an octree/Takikawa encoding
+        # is in play, the 1/8 "uniform" samples are drawn inside occupied
+        # surface leaves instead of the whole AABB — concentrating the
+        # free-space supervision near the surface. TPU-native stand-in
+        # for the triangle octree: voxelize surface samples at
+        # ``octree_depth`` and dilate ±1 voxel (conservative cover of
+        # triangle-intersecting leaves).
+        if use_octree_uniform is None:
+            use_octree_uniform = \
+                enc_cfg.get("otype", "").lower() == "takikawa"
+        self.use_octree_uniform = bool(use_octree_uniform)
+        self.octree_depth = int(octree_depth)
+        if self.use_octree_uniform:
+            res = 1 << self.octree_depth
+            surf = self.bvh.sample_surface(1 << 19, self.rng)
+            vox = np.clip((surf * res).astype(np.int64), 0, res - 1)
+            occ_set = set()
+            for dz in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        v = np.clip(vox + [dx, dy, dz], 0, res - 1)
+                        occ_set.update(np.unique(
+                            (v[:, 2] * res + v[:, 1]) * res + v[:, 0]))
+            flat = np.fromiter(occ_set, np.int64)
+            self._octree_leaves = np.stack(
+                [flat % res, (flat // res) % res, flat // (res * res)],
+                -1).astype(np.float32)
+            # ref clamps the perturbation stddev to the leaf size (:1131)
+            leaf = 2.0 ** (1 - self.octree_depth)
+            self.perturb_sigma = min(self.perturb_sigma, leaf)
+
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
 
@@ -107,7 +141,14 @@ class SdfTrainer:
         pert = base + self.rng.logistic(
             0.0, self.perturb_sigma, (n_pert, 3)).astype(np.float32)
         pert = np.clip(pert, 0.0, 1.0)
-        unif = self.rng.random((n_unif, 3), np.float32)
+        if self.use_octree_uniform:
+            res = 1 << self.octree_depth
+            idx = self.rng.integers(0, len(self._octree_leaves), n_unif)
+            unif = ((self._octree_leaves[idx] +
+                     self.rng.random((n_unif, 3), np.float32)) /
+                    res).astype(np.float32)
+        else:
+            unif = self.rng.random((n_unif, 3), np.float32)
         queries = np.concatenate([pert, unif], 0)
         d_q = self.bvh.signed_distance(queries, mode=self.sign_mode)
         pos = np.concatenate([surf, queries], 0)

@@ -13,6 +13,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# persistent XLA compile cache: today's tunnel compiles run 4-10 min;
+# cached reloads are seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -25,6 +30,11 @@ def main():
     p.add_argument("--grid_impl", default="blocked")
     p.add_argument("--fixed_rays", type=int, default=0,
                    help="pin n_rays (avoids recompiles on shape changes)")
+    p.add_argument("--save_snapshot", default="")
+    p.add_argument("--load_snapshot", default="")
+    p.add_argument("--diag", action="store_true",
+                   help="also eval view PSNR through the TRAINING march "
+                        "path (isolates renderer vs model quality)")
     p.add_argument("--world_scale", type=float, default=0.33,
                    help="upstream instant-ngp mapping for classic captures")
     p.add_argument("--world_offset", type=float, nargs=3,
@@ -63,6 +73,64 @@ def main():
     gt_srgb = linear_to_srgb_np(np.clip(gt_small[..., :3], 0, 1))
     renderer = None
 
+    if args.load_snapshot:
+        tr.load_snapshot_state(args.load_snapshot)
+        print("loaded snapshot at step", tr.training_step, flush=True)
+
+    def train_path_psnr(view, scale):
+        """View PSNR with rays evaluated through the TRAINING march +
+        composite (not the renderer) — isolates renderer divergence."""
+        import jax
+        import jax.numpy as jnp
+        from ngp_tpu.opt.optimizers import inference_params as iparams
+        from ngp_tpu.rays.marching import (composite_samples,
+                                           march_and_compact_hier)
+        p = iparams(tr.params, tr.opt_state, tr.opt_cfg)
+        Wv = int(ds.resolution[view][0]) // scale
+        Hv = int(ds.resolution[view][1]) // scale
+        ys, xs = np.meshgrid(np.arange(Hv), np.arange(Wv), indexing="ij")
+        xy_all = np.stack([(xs.ravel() + 0.5) / Wv,
+                           (ys.ravel() + 0.5) / Hv], -1).astype(np.float32)
+        n = 2048
+        S = n * 256     # fox rays carry O(250) samples at aabb_scale 16
+
+        @jax.jit
+        def run_chunk(params, bitfield, coarse, xy):
+            img = jnp.full((n,), view, jnp.int32)
+            o, d, _ = tr._build_rays(tr.data, tr.cam_params, img, xy)
+            s_t, s_dt, s_ray, counts, offsets, fits, total = \
+                march_and_compact_hier(
+                    bitfield, coarse, o, d, None, n, tr.tcfg.march_steps,
+                    tr.cone_angle, tr.max_cascade, tr.aabb_min,
+                    tr.aabb_size, S)
+            rid = jnp.clip(s_ray, 0, n - 1)
+            pos = o[rid] + s_t[:, None] * d[rid]
+            pw = (pos - tr.aabb_min) / tr.aabb_size
+            dw = d[rid] * 0.5 + 0.5
+            rgb_raw, dens_raw = tr.model.apply(params, pw, dw)
+            rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+            sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
+                                     -15., 15.))
+            rgb_ray, opac, _ = composite_samples(
+                sigma, rgb, s_dt, s_ray, offsets, counts, n)
+            return rgb_ray
+
+        out = np.zeros((Hv * Wv, 3), np.float32)
+        for i in range(0, Hv * Wv, n):
+            sl = slice(i, min(i + n, Hv * Wv))
+            xy = np.zeros((n, 2), np.float32)
+            xy[: sl.stop - sl.start] = xy_all[sl]
+            out[sl] = np.asarray(run_chunk(
+                p, tr.grid.bitfield, tr.grid.coarse,
+                jnp.asarray(xy)))[: sl.stop - sl.start]
+        gt = ds.images[view].astype(np.float32)
+        yi = (np.arange(Hv) * gt.shape[0] // Hv)
+        xi = (np.arange(Wv) * gt.shape[1] // Wv)
+        gts = linear_to_srgb_np(np.clip(gt[yi][:, xi][..., :3], 0, 1))
+        pred = linear_to_srgb_np(np.clip(out.reshape(Hv, Wv, 3), 0, 1))
+        mse = float(np.mean((pred - gts) ** 2))
+        return -10 * np.log10(max(mse, 1e-10))
+
     t0 = time.time()
     tr.train(tr.tcfg.n_steps_between_grid_updates)
     print("first chunk (compile) %.1fs" % (time.time() - t0), flush=True)
@@ -94,6 +162,17 @@ def main():
         print(f"  eval view {args.eval_view} ({W}x{H}): "
               f"PSNR={psnr:.2f} dB (render {time.time() - te:.1f}s)",
               flush=True)
+        if args.diag:
+            td = time.time()
+            dpsnr = train_path_psnr(args.eval_view, args.eval_scale)
+            print(f"  diag train-path PSNR={dpsnr:.2f} dB "
+                  f"({time.time() - td:.1f}s)", flush=True)
+
+    if args.save_snapshot:
+        from ngp_tpu.config import load_network_config as _l
+        tr.save_snapshot(args.save_snapshot, cfg,
+                         include_optimizer_state=True)
+        print("saved snapshot →", args.save_snapshot, flush=True)
 
 
 if __name__ == "__main__":

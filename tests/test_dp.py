@@ -62,10 +62,11 @@ def test_dp_matches_single_device_loss_core():
     # way the DP wrapper folds it for device 0
     err = {"cdf_x": None, "cdf_y": None, "cdf_img": None}
     k0 = jax.random.fold_in(key, 0)
+    sharp0 = jnp.zeros((1,), jnp.float32)
     p_ref, s_ref, *_, stats_ref, _ = tr._train_step_impl(
         tr.params, tr.opt_state, tr.cam_params, tr.cam_m, tr.cam_v,
-        tr.error_map, err, bitfield, coarse, tr.grid.mean, k0, tr.data,
-        n_rays=128, capacity=1024)
+        tr.error_map, sharp0, err, bitfield, coarse, tr.grid.mean, k0,
+        tr.data, n_rays=128, capacity=1024)
 
     mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
     step = make_dp_train_step(tr, mesh, n_rays_per_device=128,

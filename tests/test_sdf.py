@@ -93,3 +93,38 @@ def test_pathescape_sign_matches_watertight_on_cube():
     d_p = bvh.signed_distance(pts, mode=TriangleBvh.MODE_PATHESCAPE)
     assert np.all(np.sign(d_w) == np.sign(d_p)), (d_w, d_p)
     np.testing.assert_allclose(np.abs(d_w), np.abs(d_p), rtol=1e-5)
+
+
+def test_octree_uniform_sampling(tmp_path):
+    """Octree-uniform branch (ref: uniform_octree_sample_kernel,
+    testbed_sdf.cu:1118-1143): the 1/8 uniform samples must land inside
+    dilated surface leaves, not the whole AABB."""
+    import numpy as np
+    from ngp_tpu.train.sdf import SdfTrainer
+
+    v, f = make_cube_mesh()
+    mesh = tmp_path / "cube.obj"
+    with open(mesh, "w") as fh:
+        for vv in v:
+            fh.write("v %f %f %f\n" % tuple(vv))
+        for ff in f:
+            fh.write("f %d %d %d\n" % tuple(ff + 1))
+    cfg = {
+        "loss": {"otype": "MAPE"},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-3},
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 12, "base_resolution": 16},
+        "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                    "output_activation": "None", "n_neurons": 32,
+                    "n_hidden_layers": 1},
+    }
+    tr = SdfTrainer(mesh, cfg, batch_size=2048, use_octree_uniform=True,
+                    octree_depth=5)
+    pos, dist = tr.generate_training_batch()
+    assert np.isfinite(dist).all()
+    # every generated point lies within ~2 leaf sizes of the surface
+    # (surface/perturbed by construction; uniform via occupied leaves)
+    d = np.abs(tr.bvh.signed_distance(pos.astype(np.float32),
+                                      mode=tr.sign_mode))
+    leaf = 2.0 ** (1 - 5)
+    assert float(np.quantile(d, 0.99)) < 4 * leaf, float(d.max())

@@ -36,3 +36,34 @@ def test_msgpack_config_loading(tmp_path):
     loaded = load_network_config(p)
     assert loaded["encoding"]["n_levels"] == 8
     assert "snapshot" not in loaded
+
+
+def test_optimizer_state_roundtrip(tmp_path):
+    """Adam moments + step survive save/load when include_optimizer_state
+    is set (ref: include_optimizer_state, src/testbed.cu:3008) — resume
+    must reproduce training dynamics instead of resetting the moments."""
+    import jax
+    from synthetic import make_orbit_dataset
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    ds = make_orbit_dataset(res=16)
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 12
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=256, target_batch_size=2048, march_steps=64))
+    tr.train(2)
+    p = tmp_path / "snap.msgpack"
+    tr.save_snapshot(p, cfg, include_optimizer_state=True)
+
+    tr2 = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=256, target_batch_size=2048, march_steps=64))
+    tr2.load_snapshot_state(p)
+    assert int(tr2.opt_state.step) == int(tr.opt_state.step)
+    for a, b in zip(jax.tree.leaves(tr.opt_state.mu),
+                    jax.tree.leaves(tr2.opt_state.mu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr.opt_state.nu),
+                    jax.tree.leaves(tr2.opt_state.nu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

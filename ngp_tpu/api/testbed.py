@@ -11,6 +11,7 @@ here.
 """
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from types import SimpleNamespace
@@ -192,6 +193,12 @@ class Testbed:
                     t.sample_image_proportional_to_error,
                 sample_focal_plane_proportional_to_error=
                     t.sample_focal_plane_proportional_to_error)
+            fixed = int(os.environ.get("NGP_TPU_FIXED_RAYS", "0"))
+            if fixed:
+                # pin the ray count: every distinct n_rays costs a fresh
+                # XLA compile (minutes through the chip tunnel)
+                tcfg.n_rays = fixed
+                tcfg.adapt_rays = False
             self.trainer = NerfTrainer(ds, cfg, tcfg=tcfg)
             t.dataset = ds
             t.n_images_for_training = ds.n_images

@@ -83,61 +83,78 @@ class VolumeTrainer:
                      0, jnp.asarray(self.dense_dev.shape) - 1)
         return self.dense_dev[i[:, 0], i[:, 1], i[:, 2]]
 
+    N_EVENTS = 16   # walk length (ref caps at 128 iters / 6 stored verts)
+
     def _woodcock_targets(self, key, n):
-        """Vectorized delta tracking: rays from random outer points through
-        the volume; at each collision emit a (pos, transmittance-weighted
-        target) training sample (ref kernel :88-157, restructured as a
-        fixed 64-event scan with alive masks)."""
+        """Vectorized MULTI-EVENT Woodcock (delta-tracking) walk
+        (ref: volume_generate_training_data_kernel,
+        src/testbed_volume.cu:88-157): every majorant event records a
+        (pos, gt-density) vertex; at real collisions the walk scatters
+        (dir ← normalize(dir·scattering + random)) with probability
+        albedo or absorbs (throughput 0); every vertex of a walk receives
+        the SAME color target — the procedural-sky radiance along the
+        walk's FINAL direction times its throughput — the reference's
+        Monte-Carlo in-scattering estimator, restructured as a
+        fixed-length lax.scan over events with alive masks."""
         g = self.grid
+        E = self.N_EVENTS
         k1, k2, k3, key = jax.random.split(key, 4)
         p0 = jax.random.normal(k1, (n, 3))
         p0 = p0 / jnp.linalg.norm(p0, axis=-1, keepdims=True) * 2.0 + 0.5
         tgt = jax.random.uniform(k2, (n, 3)) * \
             (g.aabb_max - g.aabb_min) + g.aabb_min
-        d = tgt - p0
-        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
-        tmin, tmax = ray_aabb_intersect(p0, d, jnp.asarray(g.aabb_min, jnp.float32),
-                                        jnp.asarray(g.aabb_max, jnp.float32))
-        t = jnp.maximum(tmin, 0.0) + 1e-6
+        d0 = tgt - p0
+        d0 = d0 / jnp.maximum(jnp.linalg.norm(d0, -1, keepdims=True), 1e-9)
+        tmin, tmax = ray_aabb_intersect(
+            p0, d0, jnp.asarray(g.aabb_min, jnp.float32),
+            jnp.asarray(g.aabb_max, jnp.float32))
+        pos0 = p0 + (jnp.maximum(tmin, 0.0) + 1e-6)[:, None] * d0
         scale = self.distance_scale / max(g.global_majorant, 1e-9)
+        lo = jnp.asarray(g.aabb_min, jnp.float32)
+        hi = jnp.asarray(g.aabb_max, jnp.float32)
 
-        # target radiance along each ray: single-scatter-free approximation —
-        # transmittance to escape in the ray direction times sky color.
         def event(carry, k):
-            t, alive = carry
-            ku, kd, kj = jax.random.split(k, 3)
+            pos, dir, alive, through = carry
+            ku, kd, kj, ks = jax.random.split(k, 4)
             step = -jnp.log(jnp.maximum(
                 jax.random.uniform(ku, (n,)), 1e-9)) / scale
-            t_new = t + step
-            pos = p0 + t_new[:, None] * d
-            inside = t_new < tmax
+            pos = pos + step[:, None] * dir
+            inside = jnp.all((pos >= lo) & (pos <= hi), -1)
+            alive = alive & inside                     # escape ends walk
             dens = self._gt_density(pos, kj)
-            real = jax.random.uniform(kd, (n,)) < dens / max(
-                g.global_majorant, 1e-9)
-            hit = alive & inside & real
-            alive = alive & inside
-            return (t_new, alive), (pos, hit, dens)
+            record = alive                             # every event trains
+            ext = dens / max(g.global_majorant, 1e-9)
+            z = jax.random.uniform(kd, (n,))
+            scatter = z < ext * self.albedo
+            absorb = (~scatter) & (z < ext)
+            rnd = jax.random.normal(ks, (n, 3))
+            rnd = rnd / jnp.maximum(
+                jnp.linalg.norm(rnd, -1, keepdims=True), 1e-9)
+            new_dir = dir * self.scattering + rnd
+            new_dir = new_dir / jnp.maximum(
+                jnp.linalg.norm(new_dir, -1, keepdims=True), 1e-9)
+            dir = jnp.where((scatter & alive)[:, None], new_dir, dir)
+            through = jnp.where(absorb & alive, 0.0, through)
+            alive = alive & ~absorb
+            return (pos, dir, alive, through), (pos, dens, record)
 
-        keys = jax.random.split(k3, 16)
-        (_, _), (pos, hit, dens) = jax.lax.scan(
-            event, (t, tmax > tmin), keys)
-        # flatten events: (16, n, ...) → take each ray's FIRST hit
-        first = jnp.argmax(hit, axis=0)                      # (n,)
-        got = jnp.take_along_axis(hit, first[None], 0)[0]
-        pos1 = jnp.take_along_axis(
-            pos, first[None, :, None].repeat(3, -1), 0)[0]
-        dens1 = jnp.take_along_axis(dens, first[None], 0)[0]
-        # target: density + sky-lit emission scaled by sun transmittance
-        # (cheap stand-in for the reference's multi-bounce walk)
-        sky = sky_color(d, self.sun_dir)
-        target_rgb = sky * jnp.exp(-dens1[:, None] * 0.5)
-        # density target kept in raw grid units; the renderer applies
-        # distance_scale at march time (matches the ref's scale handling)
-        return pos1, jnp.concatenate([target_rgb, dens1[:, None]], -1), got
+        keys = jax.random.split(k3, E)
+        (_, dir_f, _, through), (pos, dens, record) = jax.lax.scan(
+            event, (pos0, d0, tmax > tmin, jnp.ones((n,))), keys)
+
+        # walk color target: envmap along the final direction × throughput
+        # (ref: proc_envmap(dir, ...) * throughput, :147)
+        col = sky_color(dir_f, self.sun_dir) * through[:, None]  # (n, 3)
+        target = jnp.concatenate(
+            [jnp.broadcast_to(col[None], (E, n, 3)), dens[..., None]],
+            -1)
+        return (pos.reshape(E * n, 3), target.reshape(E * n, 4),
+                record.reshape(E * n))
 
     def _train_step_impl(self, params, state, key):
         k1, key = jax.random.split(key)
-        pos, target, valid = self._woodcock_targets(k1, self.batch_size)
+        pos, target, valid = self._woodcock_targets(
+            k1, self.batch_size // self.N_EVENTS)
 
         def loss_fn(p):
             pred = self.model.apply(p, pos).astype(jnp.float32)

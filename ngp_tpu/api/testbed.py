@@ -504,6 +504,47 @@ class Testbed:
         evaluates in chunks so this scales to the full count)."""
         return self.trainer.calculate_iou(n_samples=int(n_samples))
 
+    def gather_histograms(self):
+        """Per-hash-level parameter statistics (mean/|mean|/std/min/max)
+        — the headless counterpart of the GUI's encoding histograms
+        (ref: Testbed::gather_histograms, src/testbed.cu:2962-3006).
+        Returns a list of dicts, one per grid level."""
+        tr = self.trainer
+        params = getattr(tr, "params", None)
+        if params is None:
+            return []
+        import jax
+        enc = params.get("pos_encoding", params.get("encoding"))
+        if enc is None:
+            return []
+        table = jax.tree.leaves(enc)[0]
+        arr = np.asarray(table)
+        model = getattr(tr, "model", None)
+        pe = getattr(model, "pos_encoding", getattr(model, "encoding",
+                                                    None))
+        meta = getattr(pe, "meta", None)
+        out = []
+
+        def stats(x):
+            x = x.astype(np.float64).ravel()
+            return {"mean": float(x.mean()),
+                    "abs_mean": float(np.abs(x).mean()),
+                    "std": float(x.std()), "min": float(x.min()),
+                    "max": float(x.max()), "n": int(x.size)}
+
+        if arr.ndim == 3:                       # blocked (L, R, 128)
+            for lv in range(arr.shape[0]):
+                out.append({"level": lv, **stats(arr[lv])})
+        elif meta is not None and hasattr(meta, "level_offsets"):
+            F = meta.n_features_per_level
+            for lv, (off, n) in enumerate(zip(meta.level_offsets,
+                                              meta.level_params)):
+                out.append({"level": lv,
+                            **stats(arr[off * F: (off + n) * F])})
+        else:
+            out.append({"level": 0, **stats(arr)})
+        return out
+
     # -- snapshot / camera path ----------------------------------------------
 
     def save_snapshot(self, path, include_optimizer_state: bool = False):

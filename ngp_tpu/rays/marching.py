@@ -179,11 +179,14 @@ def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,
     reference's DDA gets the same effect sequentially,
     ref: generate_training_samples_nerf two-pass march :1085-1260).
 
-    Returns (s_t, s_dt, s_ray, counts, offsets, fits, total) with the
-    same downstream contract as march_rays + compact_samples; ``counts``
-    / ``offsets`` / ``fits`` are per-RAY and rays at the capacity
-    boundary may be PARTIALLY included front-to-back (like the
-    reference's compacted_base truncation).
+    Returns (s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total)
+    with the same downstream contract as march_rays + compact_samples;
+    ``counts`` / ``offsets`` / ``fits`` are per-RAY and rays at the
+    capacity boundary may be PARTIALLY included front-to-back (like the
+    reference's compacted_base truncation). ``seg_total`` is the
+    pre-compaction surviving-segment count — compare against
+    ``capacity // seg * 4`` to detect the (otherwise silent) segment-
+    capacity truncation (round-2 verdict weak #12).
     """
     K = march_steps
     assert K % seg == 0
@@ -242,4 +245,5 @@ def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,
         sv.astype(jnp.int32), mode="drop")
     offsets = jnp.cumsum(counts) - counts
     fits = counts > 0
-    return s_t, s_dt, s_ray, counts, offsets, fits, total
+    seg_total = emit_seg.astype(jnp.int32).sum()
+    return s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total

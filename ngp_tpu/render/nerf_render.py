@@ -70,6 +70,10 @@ class RenderOptions:
     quilting_dims: tuple = (1, 1)
     slice_plane_z: float = 0.0           # SLICE mode plane offset
     visualized_level: int = 0            # ENCODING_VIS level
+    # density-grid visualization (ref: m_nerf.show_accel, GUI slider −1..7;
+    # POSITIONS mode colors each first-hit cell by its mip + cell hash,
+    # ref: testbed_nerf.cu:948-957). −1 = off.
+    show_accel: int = -1
     # glow bitmask (ref: glow_mode/glow_y_cutoff, composite_kernel_nerf
     # :843-940): 1 green grid, 2 cutline, 4 mask-to-alpha, 8 radial,
     # 16 grid-only
@@ -296,9 +300,30 @@ class NerfRenderer:
                     rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
                     rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
                 if mode == RenderMode.POSITIONS:
-                    rgb = pos_w
+                    if opts.show_accel >= 0:
+                        # color by occupancy-grid mip + per-cell hash; every
+                        # sample fully opaque so the first cell wins
+                        # (ref: show_accel branch, testbed_nerf.cu:948-957
+                        # + alpha=1 at :827-829)
+                        from ngp_tpu.grid.occupancy import mip_from_pos
+                        mip = jnp.maximum(opts.show_accel,
+                                          mip_from_pos(pos,
+                                                       self.max_cascade))
+                        res = (128 >> jnp.clip(mip, 0, 7)).astype(
+                            jnp.float32)
+                        cell = (pos * res[:, None]).astype(jnp.int32)
+                        seed = (cell[:, 0] + cell[:, 1] * 232323 +
+                                cell[:, 2] * 727272).astype(jnp.uint32)
+                        h1 = (seed * jnp.uint32(2654435761)) >> 24
+                        h2 = (seed * jnp.uint32(805459861)) >> 24
+                        rgb = jnp.stack(
+                            [1.0 - mip / 7.0, h1 / 255.0, h2 / 255.0], -1)
+                    else:
+                        rgb = pos_w
                 sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
                                          -15., 15.))
+                if mode == RenderMode.POSITIONS and opts.show_accel >= 0:
+                    sigma = jnp.full_like(sigma, 1e6)
                 if opts.glow_mode:
                     rgb, glow_mask = _apply_glow(
                         rgb, pos, xf_s[:, 3], opts.glow_mode,

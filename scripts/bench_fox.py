@@ -35,6 +35,8 @@ def main():
     p.add_argument("--diag", action="store_true",
                    help="also eval view PSNR through the TRAINING march "
                         "path (isolates renderer vs model quality)")
+    p.add_argument("--dump", default="",
+                   help="save pred/gt npz + regional PSNR breakdown")
     p.add_argument("--world_scale", type=float, default=0.33,
                    help="upstream instant-ngp mapping for classic captures")
     p.add_argument("--world_offset", type=float, nargs=3,
@@ -91,14 +93,15 @@ def main():
         ys, xs = np.meshgrid(np.arange(Hv), np.arange(Wv), indexing="ij")
         xy_all = np.stack([(xs.ravel() + 0.5) / Wv,
                            (ys.ravel() + 0.5) / Hv], -1).astype(np.float32)
-        n = 2048
-        S = n * 256     # fox rays carry O(250) samples at aabb_scale 16
+        n = 1024
+        S = n * 1024    # = n * march_steps: truncation IMPOSSIBLE (scanline
+        #                 chunks are all-dense; prefix drops showed as 12.8 dB)
 
         @jax.jit
         def run_chunk(params, bitfield, coarse, xy):
             img = jnp.full((n,), view, jnp.int32)
             o, d, _ = tr._build_rays(tr.data, tr.cam_params, img, xy)
-            s_t, s_dt, s_ray, counts, offsets, fits, total = \
+            s_t, s_dt, s_ray, counts, offsets, fits, total, _ = \
                 march_and_compact_hier(
                     bitfield, coarse, o, d, None, n, tr.tcfg.march_steps,
                     tr.cone_angle, tr.max_cascade, tr.aabb_min,
@@ -131,14 +134,20 @@ def main():
         mse = float(np.mean((pred - gts) ** 2))
         return -10 * np.log10(max(mse, 1e-10))
 
-    t0 = time.time()
-    tr.train(tr.tcfg.n_steps_between_grid_updates)
-    print("first chunk (compile) %.1fs" % (time.time() - t0), flush=True)
+    if args.load_snapshot and tr.training_step >= args.n_steps:
+        pass    # eval-only invocation: skip the warm-up training chunk
+    else:
+        t0 = time.time()
+        tr.train(tr.tcfg.n_steps_between_grid_updates)
+        print("first chunk (compile) %.1fs" % (time.time() - t0),
+              flush=True)
 
     t_train0 = time.time()
     steps_done = tr.training_step
-    while steps_done < args.n_steps:
-        k = min(args.eval_every, args.n_steps - steps_done)
+    first_pass = True
+    while steps_done < args.n_steps or first_pass:
+        first_pass = False
+        k = max(min(args.eval_every, args.n_steps - steps_done), 0)
         ts = time.time()
         loss = tr.train(k)
         dt = time.time() - ts
@@ -162,6 +171,22 @@ def main():
         print(f"  eval view {args.eval_view} ({W}x{H}): "
               f"PSNR={psnr:.2f} dB (render {time.time() - te:.1f}s)",
               flush=True)
+        if args.dump:
+            np.savez(args.dump, pred=pred, gt=gt_srgb,
+                     opacity=img[..., 3])
+            # regional breakdown: where is the error?
+            e2 = ((pred - gt_srgb) ** 2).mean(-1)
+            hq, wq = H // 4, W // 4
+            cen = e2[hq: 3 * hq, wq: 3 * wq]
+            ring = e2.sum() - cen.sum()
+            ring /= (e2.size - cen.size)
+
+            def db(m): return -10 * np.log10(max(float(m), 1e-10))
+            print(f"  regions: center={db(cen.mean()):.2f} dB "
+                  f"border={db(ring):.2f} dB "
+                  f"worst rows: {np.argsort(e2.mean(1))[-3:]} "
+                  f"opacity mean={float(img[..., 3].mean()):.3f}",
+                  flush=True)
         if args.diag:
             td = time.time()
             dpsnr = train_path_psnr(args.eval_view, args.eval_scale)

@@ -69,3 +69,36 @@ def test_error_map_interval_growth():
     tr._steps_since_error_map_update = 200
     tr.train(1)
     assert tr._error_map_interval == 192.0
+
+
+def test_sharpness_grid_deposit():
+    """Sharpness grid populates and error-map deposits stay finite when
+    importance sampling is on (ref: testbed_nerf.cu:1476-1481 deposit +
+    :557 decay)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from synthetic import make_orbit_dataset
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    ds = make_orbit_dataset(res=16)
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 12
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=256, target_batch_size=2048, march_steps=64,
+        sample_image_proportional_to_error=True,
+        sample_focal_plane_proportional_to_error=True))
+    assert tr._use_sharpness
+    assert "sharpness_maps" in tr.data
+    # force occupancy so rays have samples to deposit from (density set
+    # high so the in-chunk grid rebuild keeps cells occupied)
+    from ngp_tpu.grid import occupancy as occ
+    tr.grid = occ.rebuild_bitfield(
+        tr.grid._replace(density=jnp.ones_like(tr.grid.density)),
+        tr.max_cascade)
+    tr.train(3)
+    sg = np.asarray(tr.sharpness_grid)
+    assert np.isfinite(sg).all()
+    assert (sg > 0).any(), "no sharpness deposits landed"
+    assert np.isfinite(np.asarray(tr.error_map)).all()

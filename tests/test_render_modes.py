@@ -12,6 +12,7 @@ from synthetic import make_orbit_dataset
     ("SHADE", {"glow_mode": 3, "glow_y_cutoff": 0.6}),
     ("NORMALS", {}),
     ("POSITIONS", {}),
+    ("POSITIONS", {"show_accel": 0}),   # density-grid mip visualization
     ("DEPTH", {}),
     ("AO", {}),
     ("COST", {}),

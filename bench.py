@@ -54,7 +54,11 @@ view, scale = 0, 4
 W = int(ds.resolution[view][0]) // scale
 H = int(ds.resolution[view][1]) // scale
 gt = ds.images[view].astype(np.float32)
-gt = gt[(np.arange(H) * gt.shape[0] // H)][:, (np.arange(W) * gt.shape[1] // W)]
+yi = np.minimum(np.arange(H) * gt.shape[0] // H + gt.shape[0] // (2 * H),
+                gt.shape[0] - 1)
+xi = np.minimum(np.arange(W) * gt.shape[1] // W + gt.shape[1] // (2 * W),
+                gt.shape[1] - 1)
+gt = gt[yi][:, xi]
 gt_srgb = linear_to_srgb_np(np.clip(gt[..., :3], 0, 1))
 renderer = NerfRenderer.for_trainer(tr, RenderOptions(
     width=W, height=H, background=(0, 0, 0, 0), linear_out=True,

@@ -151,6 +151,10 @@ class BlockedGridMeta:
         F = int(enc.get("n_features_per_level", 2))
         log2_T = int(enc.get("log2_hashmap_size", 19))
         log2_rows = max(6, log2_T + int(math.log2(F)) - 7)
+        env_rows = os.environ.get("NGP_TPU_BLOCKED_LOG2_ROWS")
+        if env_rows:
+            # ablation override: selection cost is linear in rows
+            log2_rows = int(env_rows)
         row_hash = enc.get("row_hash",
                            os.environ.get("NGP_TPU_BLOCKED_HASH", "prime"))
         # never allocate more rows than the finest level can address

@@ -69,8 +69,13 @@ def main():
     W = int(ds.resolution[args.eval_view][0]) // args.eval_scale
     H = int(ds.resolution[args.eval_view][1]) // args.eval_scale
     gt = ds.images[args.eval_view].astype(np.float32)
-    yi = (np.arange(H) * gt.shape[0] // H)
-    xi = (np.arange(W) * gt.shape[1] // W)
+    # CENTER-aligned subsample: eval rays go through downsampled pixel
+    # centers = original pixel (k*s + s/2); a corner-aligned gt[k*s] is
+    # half a pixel off — pure noise in fur (cost ~2-4 dB in round 2)
+    yi = np.minimum(np.arange(H) * gt.shape[0] // H +
+                    gt.shape[0] // (2 * H), gt.shape[0] - 1)
+    xi = np.minimum(np.arange(W) * gt.shape[1] // W +
+                    gt.shape[1] // (2 * W), gt.shape[1] - 1)
     gt_small = gt[yi][:, xi]
     gt_srgb = linear_to_srgb_np(np.clip(gt_small[..., :3], 0, 1))
     renderer = None
@@ -127,10 +132,14 @@ def main():
                 p, tr.grid.bitfield, tr.grid.coarse,
                 jnp.asarray(xy)))[: sl.stop - sl.start]
         gt = ds.images[view].astype(np.float32)
-        yi = (np.arange(Hv) * gt.shape[0] // Hv)
-        xi = (np.arange(Wv) * gt.shape[1] // Wv)
+        yi = np.minimum(np.arange(Hv) * gt.shape[0] // Hv +
+                        gt.shape[0] // (2 * Hv), gt.shape[0] - 1)
+        xi = np.minimum(np.arange(Wv) * gt.shape[1] // Wv +
+                        gt.shape[1] // (2 * Wv), gt.shape[1] - 1)
         gts = linear_to_srgb_np(np.clip(gt[yi][:, xi][..., :3], 0, 1))
-        pred = linear_to_srgb_np(np.clip(out.reshape(Hv, Wv, 3), 0, 1))
+        # the training composite is ALREADY in sRGB space (network heads
+        # are sRGB when train_in_linear_colors is off) — no re-encode
+        pred = np.clip(out.reshape(Hv, Wv, 3), 0, 1)
         mse = float(np.mean((pred - gts) ** 2))
         return -10 * np.log10(max(mse, 1e-10))
 

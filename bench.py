@@ -62,7 +62,12 @@ gt = gt[yi][:, xi]
 gt_srgb = linear_to_srgb_np(np.clip(gt[..., :3], 0, 1))
 renderer = NerfRenderer.for_trainer(tr, RenderOptions(
     width=W, height=H, background=(0, 0, 0, 0), linear_out=True,
-    chunk=1 << 15))
+    chunk=1 << 15,
+    # dataset intrinsics: off-center principal + OpenCV distortion —
+    # rendering with defaults warps the frame vs GT (~8 dB on fox)
+    principal=tuple(float(x) for x in ds.principal[view]),
+    lens_params=tuple(float(x) for x in ds.lens_params[view][:4]),
+    lens_mode="opencv" if ds.lens_is_opencv else "auto"))
 focal = (float(ds.focal[view][0]) / scale, float(ds.focal[view][1]) / scale)
 
 def eval_psnr():

@@ -415,9 +415,16 @@ class Testbed:
         if getattr(self, "render_aabb", None) is not None:
             ra_min = tuple(float(x) for x in self.render_aabb.min)
             ra_max = tuple(float(x) for x in self.render_aabb.max)
+        # dataset principal point (ref: m_screen_center from
+        # dataset.principal_point, src/testbed_nerf.cu:2698) — rendering
+        # with a centered principal warps the frame vs training rays
+        principal = (0.5, 0.5)
+        if ds is not None and getattr(ds, "principal", None) is not None:
+            principal = tuple(float(x) for x in ds.principal[0])
         opts = RenderOptions(
             width=width, height=height,
             fov_axis_focal=getattr(self, "_view_focal", [height, height])[0],
+            principal=principal,
             background=tuple(self.background_color), linear_out=True,
             lens_params=lens,
             min_transmittance=self.nerf.render_min_transmittance,
@@ -439,7 +446,7 @@ class Testbed:
                opts.tonemap_curve, opts.background, opts.lens_params,
                opts.min_transmittance, ra_min, ra_max, opts.aperture_size,
                opts.slice_plane_z, opts.visualized_level, opts.glow_mode,
-               opts.glow_y_cutoff, opts.lens_mode)
+               opts.glow_y_cutoff, opts.lens_mode, opts.principal)
         cache = getattr(self, "_renderer_cache", None)
         if cache is None:
             cache = self._renderer_cache = {}

@@ -165,9 +165,17 @@ def main():
               f"{k / dt:.2f} steps/s n_rays={tr.tcfg.n_rays} "
               f"elapsed={time.time() - t_train0:.0f}s", flush=True)
         if renderer is None:
+            # dataset intrinsics: principal point + OpenCV distortion —
+            # training rays use them; rendering without warps the frame
+            # (fox: cx 14.5 px off center, k1 0.058 → ~8 dB of the
+            # round-2 'plateau' was this mismatch)
             renderer = NerfRenderer.for_trainer(tr, RenderOptions(
                 width=W, height=H, background=(0, 0, 0, 0),
-                linear_out=True, chunk=1 << 15))
+                linear_out=True, chunk=1 << 15,
+                principal=tuple(float(x) for x in ds.principal[args.eval_view]),
+                lens_params=tuple(float(x) for x in
+                                  ds.lens_params[args.eval_view][:4]),
+                lens_mode="opencv" if ds.lens_is_opencv else "auto"))
         params = inference_params(tr.params, tr.opt_state, tr.opt_cfg)
         te = time.time()
         img = renderer.render(

@@ -161,6 +161,11 @@ def evaluate_test_transforms(testbed, args):
     base = Path(args.test_transforms).parent
     testbed.background_color = np.array([0, 0, 0, 1], np.float32)
     testbed.snap_to_pixel_centers = True
+    # render with the dataset's lens + principal like training rays
+    # (ref: render_with_lens_distortion on for dataset views,
+    # src/testbed.cu:278; fox: off-center cx + k1/k2 — rendering with a
+    # centered undistorted camera warps the frame several dB)
+    testbed.nerf.render_with_lens_distortion = True
     spp = 8
     psnrs, ssims = [], []
     frames = test.get("frames", [])
@@ -175,6 +180,17 @@ def evaluate_test_transforms(testbed, args):
             continue
         ref = load_stbi(ip)                                   # linear premult
         H, W = ref.shape[:2]
+        # focal for this eval view (fl_x or camera_angle_x; per-frame
+        # overrides win, like the loader)
+        src = {**test, **frame}
+        if "fl_x" in src:
+            fx = float(src["fl_x"])
+            fy = float(src.get("fl_y", fx))
+        elif "camera_angle_x" in src:
+            fx = fy = 0.5 * W / np.tan(0.5 * float(src["camera_angle_x"]))
+        else:
+            fx = fy = float(H)
+        testbed._view_focal = np.array([fx, fy], np.float32)
         testbed.set_nerf_camera_matrix(
             np.asarray(frame["transform_matrix"], np.float32)[:3])
         img = testbed.render(W, H, spp=spp, linear=True)

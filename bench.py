@@ -16,7 +16,7 @@ import subprocess
 import sys
 
 PROBE_TIMEOUT_S = 240
-TIMEOUT_S = 1380
+TIMEOUT_S = 2100
 TARGET_DB = 30.0
 TARGET_SECONDS = 60.0
 
@@ -84,7 +84,8 @@ eval_psnr()           # compile render path
 train_s = 0.0
 elapsed = None
 psnr = 0.0
-for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 1024, 1024]:
+for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 1024,
+              1024, 1024, 1024]:
     t0 = time.time()
     tr.train(chunk)
     train_s += time.time() - t0
@@ -94,7 +95,7 @@ for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 1024, 1024]:
     if psnr >= %(target)f:
         elapsed = train_s
         break
-    if train_s > 900:
+    if train_s > 1500:
         break
 
 if elapsed is None:

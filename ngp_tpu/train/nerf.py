@@ -763,6 +763,13 @@ class NerfTrainer:
         self.last_surviving_segments = segs
         if measured > 0 and tc.adapt_rays:
             ideal = n_rays * tc.target_batch_size / measured
+            if cap and segs > 0:
+                # the sample counter saturates at capacity once segments
+                # truncate, so it can never shrink n_rays out of
+                # truncation — bound by the SEGMENT budget too (fox: 8192
+                # pinned rays → 6.4× seg overflow → ~85% of rays dropped
+                # per step while their lattices were still marched)
+                ideal = min(ideal, n_rays * 0.9 * cap / segs)
             # growth-limited (≤2× per update): every distinct n_rays is a
             # fresh XLA compile (45-130 s through the axon tunnel), and an
             # early near-empty grid would otherwise explode rays to 2^18

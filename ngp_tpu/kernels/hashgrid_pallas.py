@@ -294,3 +294,183 @@ def _encode_bwd(meta, tile, residuals, g):
 
 
 blocked_grid_encode.defvjp(_encode_fwd, _encode_bwd)
+
+
+# --------------------------------------------------------------------------
+# int8 variant: one-hot selection + table in int8 → MXU int8 rate (2× bf16)
+# --------------------------------------------------------------------------
+
+def _fwd_kernel_i8(rows_ref, frac_ref, table_ref, scale_ref, out_ref,
+                   *, meta, tile):
+    """Forward with an int8-quantized table (per-LEVEL scale): the
+    selection matmul runs at the MXU's int8 rate. Exactness: the one-hot
+    is 0/1 int8, so the int32 accumulator reproduces the quantized row
+    exactly; the only error is the table quantization itself."""
+    D = meta.n_dims
+    lane_off, bits, used = _corner_masks(D, tile)
+    R = meta.rows
+
+    rows = rows_ref[0, 0, :].reshape(tile, 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
+    oh = (rows == iota_r).astype(jnp.int8)                     # (T, R)
+    tbl = table_ref[0]                                         # (R,128) i8
+    A = jnp.dot(oh, tbl, preferred_element_type=jnp.int32)     # (T, 128)
+    A = A.astype(jnp.float32) * scale_ref[0]
+
+    base = rows_ref[0, 1, :].reshape(tile, 1)
+    idx = base + lane_off
+    G = jnp.take_along_axis(A, idx, axis=1)
+
+    fracs = [frac_ref[0, d, :].reshape(tile, 1) for d in range(D)]
+    w = _weights_from_frac(fracs, bits, used)
+    contrib = G * w
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % 2
+    out_ref[0, 0, :] = jnp.sum(jnp.where(lane_f == 0, contrib, 0.0), axis=1)
+    out_ref[0, 1, :] = jnp.sum(jnp.where(lane_f == 1, contrib, 0.0), axis=1)
+
+
+def _bwd_table_kernel_i8(rows_ref, frac_ref, g_ref, dtable_ref,
+                         *, meta, tile):
+    """dTable via int8 MXU: quantize this tile's dA with a per-tile
+    scale (stochastic-free round; gradients are noisy anyway), multiply
+    int8×int8 → int32, rescale, accumulate f32."""
+    D = meta.n_dims
+    lane_off, bits, used = _corner_masks(D, tile)
+    R = meta.rows
+
+    rows = rows_ref[0, 0, :].reshape(tile, 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
+    oh = (rows == iota_r).astype(jnp.int8)
+
+    base = rows_ref[0, 1, :].reshape(tile, 1)
+    idx = base + lane_off
+    fracs = [frac_ref[0, d, :].reshape(tile, 1) for d in range(D)]
+    w = _weights_from_frac(fracs, bits, used)
+
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1) % 2
+    g0 = g_ref[0, 0, :].reshape(tile, 1)
+    g1 = g_ref[0, 1, :].reshape(tile, 1)
+    gl = jnp.where(lane_f == 0, g0, g1) * used
+
+    gv = gl * w
+    dA = jnp.zeros((tile, LANES), jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, LANES), 1)
+    CF = (1 << D) * 2
+    for j in range(CF):
+        tgt = idx[:, j].reshape(tile, 1)
+        val = gv[:, j].reshape(tile, 1)
+        dA = dA + jnp.where(lane_iota == tgt, val, 0.0)
+
+    scale = jnp.maximum(jnp.max(jnp.abs(dA)), 1e-20) / 127.0
+    dA_i8 = jnp.clip(jnp.round(dA / scale), -127, 127).astype(jnp.int8)
+    dT = jax.lax.dot_general(
+        oh, dA_i8, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                      # (R, 128)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dtable_ref[0] = jnp.zeros_like(dtable_ref[0])
+
+    dtable_ref[0] += dT.astype(jnp.float32) * scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def blocked_grid_encode_int8(table, pos, meta: BlockedGridMeta,
+                             tile: int = DEFAULT_TILE):
+    """int8-MXU variant of blocked_grid_encode: the fwd table and the bwd
+    cotangents are quantized to int8 (per-level / per-tile scales), so
+    both selection matmuls run at twice the bf16 rate. Gate behind
+    NGP_TPU_ENCODE_INT8; quality ablation lives in bench_fox."""
+    out, _ = _encode_fwd_impl_i8(table, pos, meta, tile)
+    return out
+
+
+def _encode_fwd_impl_i8(table, pos, meta, tile):
+    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    ri, fr, N, Np = _geometry(meta, pos, tile)
+    n_tiles = Np // tile
+
+    scales = jnp.maximum(jnp.max(jnp.abs(table), axis=(1, 2)),
+                         1e-20) / 127.0                        # (L,)
+    tq = jnp.clip(jnp.round(table / scales[:, None, None]),
+                  -127, 127).astype(jnp.int8)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_i8, meta=meta, tile=tile),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda l, t: (l,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, 2, Np), jnp.float32),
+        compiler_params=_compiler_params(),
+    )(ri, fr, tq, scales)
+    feats = out[:, :, :N]
+    pos_stub = jnp.zeros((0,), pos.dtype)
+    return feats.transpose(2, 0, 1).reshape(N, L * 2), \
+        (table, pos_stub, ri, fr)
+
+
+def _encode_fwd_i8(table, pos, meta, tile):
+    return _encode_fwd_impl_i8(table, pos, meta, tile)
+
+
+def _encode_bwd_i8(meta, tile, residuals, g):
+    table, pos_stub, ri, fr = residuals
+    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    N, Np = g.shape[0], ri.shape[2]
+    n_tiles = Np // tile
+    gT = g.reshape(N, L, 2).transpose(1, 2, 0)
+    gT = _pad_to(gT, Np, 2)
+
+    dtable = pl.pallas_call(
+        functools.partial(_bwd_table_kernel_i8, meta=meta, tile=tile),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
+        compiler_params=_compiler_params(),
+    )(ri, fr, gT)
+
+    # position grads: reuse the f32 dfrac kernel (DCE'd when unused)
+    dfrac = pl.pallas_call(
+        functools.partial(_bwd_frac_kernel, meta=meta, tile=tile),
+        grid=(L, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
+        compiler_params=_compiler_params(),
+    )(ri, fr, table, gT)
+
+    scales = jnp.asarray(meta.level_scales, jnp.float32)
+    dpos = jnp.einsum("ldn,l->nd", dfrac[:, :, :N], scales)
+    return dtable, dpos.astype(pos_stub.dtype)
+
+
+blocked_grid_encode_int8.defvjp(_encode_fwd_i8, _encode_bwd_i8)

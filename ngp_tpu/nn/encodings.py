@@ -177,13 +177,18 @@ class BlockedGridEncoding:
 
     def apply(self, params, x, max_level=None, **_):
         import jax
+        import os
 
         from ngp_tpu.kernels.blocked_grid import encode_reference
-        from ngp_tpu.kernels.hashgrid_pallas import blocked_grid_encode
+        from ngp_tpu.kernels.hashgrid_pallas import (blocked_grid_encode,
+                                                     blocked_grid_encode_int8)
 
         platform = jax.devices()[0].platform
         if platform in ("tpu", "axon"):
-            out = blocked_grid_encode(params, x, self.meta)
+            if os.environ.get("NGP_TPU_ENCODE_INT8"):
+                out = blocked_grid_encode_int8(params, x, self.meta)
+            else:
+                out = blocked_grid_encode(params, x, self.meta)
         else:
             out = encode_reference(params, x, self.meta)
         if max_level is None:

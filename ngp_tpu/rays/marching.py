@@ -143,25 +143,55 @@ def merge_excess_samples(emit, dt, cap: int):
     return keep, jnp.where(keep, dt * group, dt)
 
 
-def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int):
+def exclusive_depth(sdt, s_ray, s_k, n_rays: int, n_k: int):
+    """Per-sample EXCLUSIVE per-ray optical-depth prefix, computed on the
+    (R, K) lattice (scatter → cumsum along K → gather).
+
+    The round-2 implementation took differences of ONE global f32 cumsum
+    over the whole stream; once σ sharpens (e^15 · Δt ≈ thousands per
+    sample) the running sum reaches 1e9+ where f32 quantization is in the
+    HUNDREDS — `excl - base` comes back wrong or negative, exp(+junk)
+    overflows, and training diverges (observed on fox at ~3.5k steps).
+    A per-ray cumsum keeps every relevant (small) prefix exact: positions
+    late enough to be polluted have T ≈ 0 anyway.
+    """
+    valid = s_ray < n_rays
+    rid = jnp.clip(s_ray, 0, n_rays - 1)
+    kk = jnp.clip(s_k, 0, n_k - 1)
+    lat = jnp.zeros((n_rays, n_k)).at[rid, kk].add(
+        jnp.where(valid, sdt, 0.0), mode="drop")
+    excl = jnp.cumsum(lat, axis=1) - lat
+    return excl[rid, kk]
+
+
+def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int,
+                      s_k=None, n_k: int = 0):
     """Segmented volumetric compositing on a compacted sample stream.
 
-    Uses log(1-α) = -σ·Δt exactly: per-ray transmittance is a segmented
-    cumsum. Returns (rgb_ray (R,3), opacity (R,), depth_num (R,)) where
-    depth_num = Σ w·t needs the caller's t (pass rgb=(rgb, t-stack) style
-    helpers instead when depth is needed).
+    Uses log(1-α) = -σ·Δt exactly. When ``s_k``/``n_k`` (per-sample
+    lattice slot + lattice length) are given, per-ray transmittance uses
+    the numerically-safe lattice cumsum (``exclusive_depth``); the
+    global-stream fallback is kept for callers without slot ids but
+    overflows once per-stream optical depth reaches ~1e7.
+    Returns (rgb_ray (R,3), opacity (R,), weights (S,)).
     """
     S = sigma.shape[0]
     valid = s_ray < n_rays
     sdt = jnp.where(valid, sigma * s_dt, 0.0)
-    cum = jnp.cumsum(sdt)
-    excl = cum - sdt
-    seg_base = jnp.where(counts > 0, excl[jnp.clip(offsets, 0, S - 1)], 0.0)
-    T = jnp.exp(-(excl - seg_base[jnp.clip(s_ray, 0, n_rays - 1)]))
+    if s_k is not None and n_k:
+        excl_ray = exclusive_depth(sdt, s_ray, s_k, n_rays, n_k)
+    else:
+        cum = jnp.cumsum(sdt)
+        excl = cum - sdt
+        seg_base = jnp.where(counts > 0, excl[jnp.clip(offsets, 0, S - 1)],
+                             0.0)
+        excl_ray = excl - seg_base[jnp.clip(s_ray, 0, n_rays - 1)]
+    T = jnp.exp(-jnp.clip(excl_ray, 0.0, 88.0))
     alpha = 1.0 - jnp.exp(-sdt)
     w = jnp.where(valid, T * alpha, 0.0)
     rgb_ray = jnp.zeros((n_rays, 3)).at[s_ray].add(w[:, None] * rgb, mode="drop")
-    opt_depth = jnp.zeros((n_rays,)).at[s_ray].add(sdt, mode="drop")
+    opt_depth = jnp.zeros((n_rays,)).at[s_ray].add(
+        jnp.minimum(sdt, 88.0), mode="drop")
     return rgb_ray, 1.0 - jnp.exp(-opt_depth), w
 
 
@@ -235,10 +265,12 @@ def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,
 
     # ---- level 2: final compaction over (segments, seg) ----------------
     S1 = seg_ray.shape[0]
-    s_t, s_dt, s_segid, _, _, _, total, _ = compact_samples(
+    s_t, s_dt, s_segid, _, _, _, total, s_within = compact_samples(
         t_s, dt_s, emit_fine, S1, capacity)
     sv = s_segid < S1
     s_ray = jnp.where(sv, seg_ray[jnp.clip(s_segid, 0, S1 - 1)], n_rays)
+    # global lattice slot (for the per-ray lattice composite)
+    s_kglob = seg_k[jnp.clip(s_segid, 0, S1 - 1)] * seg + s_within
 
     # per-RAY counts/offsets for the segmented composite
     counts = jnp.zeros((n_rays,), jnp.int32).at[s_ray].add(
@@ -246,4 +278,5 @@ def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,
     offsets = jnp.cumsum(counts) - counts
     fits = counts > 0
     seg_total = emit_seg.astype(jnp.int32).sum()
-    return s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total
+    return (s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total,
+            s_kglob)

@@ -270,7 +270,7 @@ class NerfRenderer:
                 # (the ref marches to completion, nerf_renderer.cu:661-791)
                 emit_s, dt_m = merge_excess_samples(emit_s, dt[:, sl],
                                                     per_ray)
-                s_t, s_dt, s_ray, counts, offsets, fits, tot, _ = \
+                s_t, s_dt, s_ray, counts, offsets, fits, tot, s_k = \
                     compact_samples(t[:, sl], dt_m, emit_s, n_rays, S)
                 total = total + tot
                 rid = jnp.clip(s_ray, 0, n_rays - 1)
@@ -346,7 +346,8 @@ class NerfRenderer:
                                                     1.0 - 1e-7)) / \
                         jnp.maximum(sigma, 1e-10)
                 rgb_seg, opac_seg, w = composite_samples(
-                    sigma, rgb, s_dt_eff, s_ray, offsets, counts, n_rays)
+                    sigma, rgb, s_dt_eff, s_ray, offsets, counts, n_rays,
+                    s_k=s_k, n_k=seg_len)
                 T_in = jnp.exp(-logT)
                 rgb_acc = rgb_acc + T_in[:, None] * rgb_seg
                 depth_acc = depth_acc + T_in * jnp.zeros(

@@ -471,16 +471,16 @@ class NerfTrainer:
         ray_ok = texsamp[:, 0] >= 0.0
         if tc.hierarchical_march and coarse is not None:
             from ngp_tpu.rays.marching import march_and_compact_hier
-            s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total = \
-                march_and_compact_hier(
-                    bitfield, coarse, o0, d0, k_march, n_rays,
-                    tc.march_steps, self.cone_angle, self.max_cascade,
-                    self.aabb_min, self.aabb_size, S, ray_mask=ray_ok)
+            (s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total,
+             s_k) = march_and_compact_hier(
+                bitfield, coarse, o0, d0, k_march, n_rays,
+                tc.march_steps, self.cone_angle, self.max_cascade,
+                self.aabb_min, self.aabb_size, S, ray_mask=ray_ok)
             self._seg_capacity = S // 8 * 4
         else:
             t, dt, emit = self._march(bitfield, o0, d0, k_march, n_rays)
             emit = emit & ray_ok[:, None]
-            s_t, s_dt, s_ray, counts, offsets, fits, total, _ = \
+            s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = \
                 self._compact(t, dt, emit, n_rays)
             seg_total = jnp.zeros((), jnp.int32)
             self._seg_capacity = 0
@@ -546,18 +546,21 @@ class NerfTrainer:
             sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32), -15., 15.))
             sdt = jnp.where(valid, sigma * s_dt, 0.0)
 
-            # per-ray transmittance via segmented cumsum of σΔt
-            cum = jnp.cumsum(sdt)
-            excl = cum - sdt
-            seg_base = jnp.where(counts > 0,
-                                 excl[jnp.clip(offsets, 0, S - 1)], 0.0)
-            T = jnp.exp(-(excl - seg_base[rid]))
+            # per-ray transmittance via a LATTICE cumsum — a global
+            # stream cumsum loses f32 precision once optical depth
+            # accumulates ~1e7+ across rays and training diverges
+            # (observed at fox step ~3.5k); see exclusive_depth
+            from ngp_tpu.rays.marching import exclusive_depth
+            excl_ray = exclusive_depth(sdt, s_ray, s_k, n_rays,
+                                       tc.march_steps)
+            T = jnp.exp(-jnp.clip(excl_ray, 0.0, 88.0))
             alpha = 1.0 - jnp.exp(-sdt)
             w = jnp.where(valid, T * alpha, 0.0)
 
             rgb_ray = jnp.zeros((n_rays, 3)).at[s_ray].add(
                 w[:, None] * rgb, mode="drop")
-            opt_depth = jnp.zeros((n_rays,)).at[s_ray].add(sdt, mode="drop")
+            opt_depth = jnp.zeros((n_rays,)).at[s_ray].add(
+                jnp.minimum(sdt, 88.0), mode="drop")
             T_end = jnp.exp(-opt_depth)
             rgb_ray = rgb_ray + T_end[:, None] * bg_out
 

@@ -106,7 +106,7 @@ def main():
         def run_chunk(params, bitfield, coarse, xy):
             img = jnp.full((n,), view, jnp.int32)
             o, d, _ = tr._build_rays(tr.data, tr.cam_params, img, xy)
-            s_t, s_dt, s_ray, counts, offsets, fits, total, _ = \
+            s_t, s_dt, s_ray, counts, offsets, fits, total, _, s_k = \
                 march_and_compact_hier(
                     bitfield, coarse, o, d, None, n, tr.tcfg.march_steps,
                     tr.cone_angle, tr.max_cascade, tr.aabb_min,
@@ -120,7 +120,8 @@ def main():
             sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
                                      -15., 15.))
             rgb_ray, opac, _ = composite_samples(
-                sigma, rgb, s_dt, s_ray, offsets, counts, n)
+                sigma, rgb, s_dt, s_ray, offsets, counts, n,
+                s_k=s_k, n_k=tr.tcfg.march_steps)
             return rgb_ray
 
         out = np.zeros((Hv * Wv, 3), np.float32)

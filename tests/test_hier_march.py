@@ -40,7 +40,7 @@ def test_hier_march_matches_flat_on_sparse_grid():
                              tr.aabb_size)
     s_t, _, s_ray, counts, _, _, total, _ = compact_samples(
         t, dt, emit, 64, 4096)
-    h_t, _, h_ray, h_counts, _, _, h_total, _ = march_and_compact_hier(
+    h_t, _, h_ray, h_counts, _, _, h_total, _, _ = march_and_compact_hier(
         grid.bitfield, grid.coarse, o, d, None, 64, 256, tr.cone_angle,
         tr.max_cascade, tr.aabb_min, tr.aabb_size, 4096)
 

@@ -121,3 +121,39 @@ def test_occupancy_bitfield_lookup():
     occ = np.asarray(occupied_at(grid.bitfield, pos,
                                  jnp.zeros(2, jnp.int32)))
     assert occ.tolist() == [True, False]
+
+
+def test_exclusive_depth_matches_f64_and_survives_huge_sigma():
+    """Per-ray lattice prefix must stay exact where T matters even when
+    per-sample optical depth is extreme (global-stream f32 cumsum broke
+    at ~1e7 accumulated depth and diverged fox training at ~3.5k steps)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngp_tpu.rays.marching import exclusive_depth
+
+    rng = np.random.default_rng(0)
+    R, K = 64, 128
+    # stream: each ray has a contiguous run of samples with huge sdt
+    counts = rng.integers(10, K, R)
+    s_ray, s_k, sdt = [], [], []
+    for r in range(R):
+        ks = np.sort(rng.choice(K, counts[r], replace=False))
+        s_ray += [r] * counts[r]
+        s_k += list(ks)
+        sdt += list(rng.random(counts[r]) * 5e6)   # extreme σ·Δt
+    S = len(s_ray)
+    s_ray = np.asarray(s_ray, np.int32)
+    s_k = np.asarray(s_k, np.int32)
+    sdt = np.asarray(sdt, np.float32)
+
+    got = np.asarray(exclusive_depth(jnp.asarray(sdt), jnp.asarray(s_ray),
+                                     jnp.asarray(s_k), R, K))
+    # f64 per-ray reference
+    ref = np.zeros(S)
+    for r in range(R):
+        m = s_ray == r
+        ref[m] = np.cumsum(sdt[m].astype(np.float64)) - sdt[m]
+    assert (got >= 0).all()
+    # exact where the prefix is small enough for T to matter
+    small = ref < 100.0
+    np.testing.assert_allclose(got[small], ref[small], rtol=1e-5)

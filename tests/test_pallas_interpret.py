@@ -26,3 +26,36 @@ def test_training_through_pallas_kernel_interpret(monkeypatch):
         l0 = tr.train(2)
         l1 = tr.train(15)
     assert l1 < l0, (l0, l1)
+
+
+def test_blocked_grid_int8_close_to_reference():
+    """int8 selection path ≈ f32 reference within the quantization step
+    (per-level max/127)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from ngp_tpu.kernels.blocked_grid import BlockedGridMeta, encode_reference
+    from ngp_tpu.kernels.hashgrid_pallas import blocked_grid_encode_int8
+
+    meta = BlockedGridMeta(n_dims=3, n_levels=4, base_resolution=16,
+                           per_level_scale=1.5, log2_rows=7)
+    key = jax.random.PRNGKey(0)
+    table = jax.random.normal(key, (meta.n_levels, meta.rows, 128)) * 0.3
+    pos = jax.random.uniform(jax.random.PRNGKey(1), (512, 3))
+    ref = np.asarray(encode_reference(table, pos, meta))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(blocked_grid_encode_int8(table, pos, meta, 256))
+    # max quant step per level ≈ max|T| / 127; features are convex combos
+    step = float(jnp.max(jnp.abs(table))) / 127.0
+    assert np.abs(got - ref).max() < 4 * step, np.abs(got - ref).max()
+
+    # backward: table grads flow and land on touched rows (the custom_vjp
+    # backward binds during grad evaluation, so the interpret context must
+    # wrap the grad call itself)
+    def loss(t):
+        return jnp.sum(blocked_grid_encode_int8(t, pos, meta, 256) ** 2)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(table)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0

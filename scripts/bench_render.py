@@ -30,7 +30,9 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--occupancy", type=float, default=0.02)
     p.add_argument("--aabb_scale", type=int, default=16)
-    p.add_argument("--chunk", type=int, default=1 << 16)
+    # chunk 2^16 materializes a ~1.3 GB lattice per scan step and
+    # crashed the TPU worker; 2^14 keeps it ~300 MB
+    p.add_argument("--chunk", type=int, default=1 << 14)
     p.add_argument("--grid_impl", default="blocked")
     args = p.parse_args()
     os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl

@@ -847,7 +847,14 @@ class NerfTrainer:
                 err_state = self._error_state()
                 self._steps_since_error_map_update = 0
                 self._error_map_interval *= 1.5
-            k_chunk = min(cadence - self.training_step % cadence, remaining)
+            to_boundary = cadence - self.training_step % cadence
+            # overshoot to the grid-update boundary for large requests:
+            # every distinct scan length T is a fresh XLA compile (minutes
+            # through the chip tunnel), and callers that report every K
+            # steps with K % cadence != 0 would otherwise thrash compiles
+            # (run.py at report=153 trained at 0.6 steps/s, all compile)
+            k_chunk = to_boundary if n_steps >= cadence \
+                else min(to_boundary, remaining)
             n_rays = self.tcfg.n_rays
             # grid maintenance folded into the SAME dispatch as the chunk
             fn = self._chunk_fn(n_rays, k_chunk, with_grid_update=at_boundary,

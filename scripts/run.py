@@ -102,7 +102,9 @@ def main():
     if n_steps > 0 and testbed.trainer is not None:
         print(f"Training for {n_steps} steps")
         t0 = time.time()
-        report = max(n_steps // 20, 1)
+        # report on grid-update boundaries: off-cadence chunk lengths
+        # each compile a fresh scan (minutes through the chip tunnel)
+        report = max(((n_steps // 20 + 15) // 16) * 16, 16)
         while testbed.training_step < n_steps:
             k = min(report, n_steps - testbed.training_step)
             loss = testbed.train(k)

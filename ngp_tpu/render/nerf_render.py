@@ -49,7 +49,10 @@ class RenderOptions:
     background: tuple = (0.0, 0.0, 0.0, 0.0)
     linear_out: bool = True              # return linear RGB (like run.py eval)
     min_transmittance: float = 1e-4
-    chunk: int = 1 << 16
+    # 2^16-ray chunks materialize a multi-GB march lattice per scan step
+    # at 1024 march steps and crashed the TPU worker at 1080p; 2^14 keeps
+    # the transient ~350 MB
+    chunk: int = 1 << 14
     march_steps: int = 1024
     samples_per_chunk_factor: int = 48   # per-ray sample cap per segment
     march_segments: int = 4              # early-out granularity
@@ -408,20 +411,30 @@ class NerfRenderer:
 
         @jax.jit
         def run_frame(params, bitfield, xf_s, xf_e, rsh, bg, key, fx, fy):
-            def body(_, c):
-                acc = jnp.zeros((eff_chunk, 4))
-                for s in range(n_spp):         # static unroll
-                    kc = jax.random.fold_in(key, s * n_chunks + c)
-                    jitter_on = jnp.asarray((s > 0) and not snap)
-                    rgb, opac, _, _ = core(
-                        params, bitfield, xf_s, xf_e, rsh, bg, kc,
-                        c * eff_chunk, jitter_on, fx, fy, eff_chunk,
-                        W, H, motion)
-                    acc = acc + jnp.concatenate([rgb, opac[:, None]], -1)
-                return None, acc / n_spp
-            _, ys = jax.lax.scan(body, None,
-                                 jnp.arange(n_chunks, dtype=jnp.int32))
-            return ys.reshape(n_chunks * eff_chunk, 4)
+            # spp is folded into the SCAN axis (not unrolled in the body):
+            # an unrolled body gave XLA n_spp concurrent chunk lattices
+            # and crashed the worker at 1080p spp8
+            def body(acc, idx):
+                s = idx // n_chunks
+                c = idx % n_chunks
+                kc = jax.random.fold_in(key, idx)
+                jitter_on = jnp.asarray(not snap) & (s > 0)
+                rgb, opac, _, _ = core(
+                    params, bitfield, xf_s, xf_e, rsh, bg, kc,
+                    c * eff_chunk, jitter_on, fx, fy, eff_chunk,
+                    W, H, motion)
+                contrib = jnp.concatenate([rgb, opac[:, None]],
+                                          -1) / n_spp
+                prev = jax.lax.dynamic_slice(
+                    acc, (c * eff_chunk, 0), (eff_chunk, 4))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, prev + contrib, (c * eff_chunk, 0))
+                return acc, None
+            acc0 = jnp.zeros((n_chunks * eff_chunk, 4))
+            acc, _ = jax.lax.scan(
+                body, acc0,
+                jnp.arange(n_spp * n_chunks, dtype=jnp.int32))
+            return acc
 
         cache[key_] = run_frame
         return run_frame

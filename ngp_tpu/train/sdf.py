@@ -169,12 +169,21 @@ class SdfTrainer:
         return params, state, loss / LOSS_SCALE
 
     def train(self, n_steps: int) -> float:
-        loss = 0.0
-        for _ in range(n_steps):
-            pos, dist = self.generate_training_batch()
-            self.params, self.state, loss = self._train_step(
-                self.params, self.state, jnp.asarray(pos), jnp.asarray(dist))
-            self.training_step += 1
+        """Pipelined: the NEXT batch's BVH queries run on host threads
+        while the device executes the current step (the reference gets
+        the same overlap from CUDA streams; here the C++ BVH releases
+        the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+        loss = jnp.zeros(())
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self.generate_training_batch)
+            for _ in range(n_steps):
+                pos, dist = fut.result()
+                fut = pool.submit(self.generate_training_batch)
+                self.params, self.state, loss = self._train_step(
+                    self.params, self.state, jnp.asarray(pos),
+                    jnp.asarray(dist))
+                self.training_step += 1
         return float(loss)
 
     # -- inference / eval -------------------------------------------------

@@ -315,7 +315,7 @@ def _fwd_kernel_i8(rows_ref, frac_ref, table_ref, scale_ref, out_ref,
     oh = (rows == iota_r).astype(jnp.int8)                     # (T, R)
     tbl = table_ref[0]                                         # (R,128) i8
     A = jnp.dot(oh, tbl, preferred_element_type=jnp.int32)     # (T, 128)
-    A = A.astype(jnp.float32) * scale_ref[0]
+    A = A.astype(jnp.float32) * scale_ref[0, 0]
 
     base = rows_ref[0, 1, :].reshape(tile, 1)
     idx = base + lane_off
@@ -394,6 +394,7 @@ def _encode_fwd_impl_i8(table, pos, meta, tile):
                          1e-20) / 127.0                        # (L,)
     tq = jnp.clip(jnp.round(table / scales[:, None, None]),
                   -127, 127).astype(jnp.int8)
+    scales2d = scales[:, None]                                 # SMEM (1,1)
 
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_i8, meta=meta, tile=tile),
@@ -405,14 +406,14 @@ def _encode_fwd_impl_i8(table, pos, meta, tile):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda l, t: (l,),
+            pl.BlockSpec((1, 1), lambda l, t: (l, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, 2, Np), jnp.float32),
         compiler_params=_compiler_params(),
-    )(ri, fr, tq, scales)
+    )(ri, fr, tq, scales2d)
     feats = out[:, :, :N]
     pos_stub = jnp.zeros((0,), pos.dtype)
     return feats.transpose(2, 0, 1).reshape(N, L * 2), \

@@ -27,6 +27,13 @@ def main():
     p.add_argument("--iou_samples", type=int, default=1 << 21)
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--octree_uniform", action="store_true")
+    p.add_argument("--sign_mode", default="watertight",
+                   choices=["watertight", "raystab"],
+                   help="raystab fires ~32 ray probes per query (ref "
+                        "default, robust to open meshes) — on the host "
+                        "BVH that is 5-10 s per 2^18 batch; closed "
+                        "meshes like armadillo use watertight (1 "
+                        "closest-point query)")
     args = p.parse_args()
 
     from ngp_tpu.config import load_network_config
@@ -34,7 +41,10 @@ def main():
 
     t0 = time.time()
     cfg = load_network_config(args.config)
-    tr = SdfTrainer(args.mesh, cfg, batch_size=args.batch,
+    from ngp_tpu.data.mesh import TriangleBvh
+    mode = (TriangleBvh.MODE_WATERTIGHT if args.sign_mode == "watertight"
+            else TriangleBvh.MODE_RAYSTAB)
+    tr = SdfTrainer(args.mesh, cfg, batch_size=args.batch, sign_mode=mode,
                     use_octree_uniform=args.octree_uniform or None)
     print(f"init (mesh+BVH) {time.time() - t0:.1f}s  "
           f"{len(tr.faces)} tris", flush=True)

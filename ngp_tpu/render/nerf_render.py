@@ -53,6 +53,11 @@ class RenderOptions:
     # at 1024 march steps and crashed the TPU worker at 1080p; 2^14 keeps
     # the transient ~350 MB
     chunk: int = 1 << 14
+    # max pixel chunks per jitted dispatch: a whole 1080p frame in ONE
+    # dispatch is ~40-80 s of device time and the axon tunnel's watchdog
+    # kills it (worker "crashed or restarted"); groups of 16 chunks stay
+    # a few seconds each at ~1 ms dispatch overhead
+    dispatch_chunks: int = 16
     march_steps: int = 1024
     samples_per_chunk_factor: int = 48   # per-ray sample cap per segment
     march_segments: int = 4              # early-out granularity
@@ -393,14 +398,16 @@ class NerfRenderer:
 
     # ------------------------------------------------------------------
 
-    def _frame_fn(self, eff_chunk: int, n_chunks: int, W: int, H: int,
+    def _frame_fn(self, eff_chunk: int, group: int, W: int, H: int,
                   n_spp: int, motion: bool):
-        """Whole-frame jitted render: ONE dispatch per frame — a
-        lax.scan over pixel chunks with the spp loop folded inside
+        """Jitted render of a GROUP of pixel chunks: a lax.scan over
+        (spp × group chunks) with the spp loop folded into the scan axis
         (the per-chunk dispatch restructure the trainer got in round 2;
         ref throughput anchor: 'tens of ms at 1920×1080',
-        /root/reference/docs/index.html:317)."""
-        key_ = (eff_chunk, n_chunks, W, H, n_spp, motion)
+        /root/reference/docs/index.html:317). Frames larger than
+        ``dispatch_chunks`` chunks render in several group dispatches —
+        one giant dispatch exceeds the tunnel watchdog."""
+        key_ = (eff_chunk, group, W, H, n_spp, motion)
         cache = getattr(self, "_frame_fns", None)
         if cache is None:
             cache = self._frame_fns = {}
@@ -410,14 +417,14 @@ class NerfRenderer:
         snap = self.opts.snap_to_pixel_centers
 
         @jax.jit
-        def run_frame(params, bitfield, xf_s, xf_e, rsh, bg, key, fx, fy):
+        def run_group(params, bitfield, xf_s, xf_e, rsh, bg, key, fx, fy,
+                      base):
             # spp is folded into the SCAN axis (not unrolled in the body):
-            # an unrolled body gave XLA n_spp concurrent chunk lattices
-            # and crashed the worker at 1080p spp8
+            # an unrolled body gives XLA n_spp concurrent chunk lattices
             def body(acc, idx):
-                s = idx // n_chunks
-                c = idx % n_chunks
-                kc = jax.random.fold_in(key, idx)
+                s = idx // group
+                c = base + idx % group
+                kc = jax.random.fold_in(key, s * 4096 + c)
                 jitter_on = jnp.asarray(not snap) & (s > 0)
                 rgb, opac, _, _ = core(
                     params, bitfield, xf_s, xf_e, rsh, bg, kc,
@@ -425,19 +432,20 @@ class NerfRenderer:
                     W, H, motion)
                 contrib = jnp.concatenate([rgb, opac[:, None]],
                                           -1) / n_spp
+                lo = (idx % group) * eff_chunk
                 prev = jax.lax.dynamic_slice(
-                    acc, (c * eff_chunk, 0), (eff_chunk, 4))
+                    acc, (lo, 0), (eff_chunk, 4))
                 acc = jax.lax.dynamic_update_slice(
-                    acc, prev + contrib, (c * eff_chunk, 0))
+                    acc, prev + contrib, (lo, 0))
                 return acc, None
-            acc0 = jnp.zeros((n_chunks * eff_chunk, 4))
+            acc0 = jnp.zeros((group * eff_chunk, 4))
             acc, _ = jax.lax.scan(
                 body, acc0,
-                jnp.arange(n_spp * n_chunks, dtype=jnp.int32))
+                jnp.arange(n_spp * group, dtype=jnp.int32))
             return acc
 
-        cache[key_] = run_frame
-        return run_frame
+        cache[key_] = run_group
+        return run_group
 
     def render(self, params, bitfield, camera_matrix: np.ndarray,
                width: Optional[int] = None, height: Optional[int] = None,
@@ -471,10 +479,16 @@ class NerfRenderer:
         key = jax.random.PRNGKey(seed)
 
         n_chunks = -(-H * W // eff_chunk)
-        fn = self._frame_fn(eff_chunk, n_chunks, W, H, n_spp,
-                            camera_matrix_end is not None)
-        acc = fn(params, bitfield, xf_s, xf_e, rsh, bg, key,
-                 jnp.float32(fx), jnp.float32(fy))[: H * W]
+        group = max(min(opts.dispatch_chunks, n_chunks), 1)
+        motion = camera_matrix_end is not None
+        parts = []
+        for base in range(0, n_chunks, group):
+            g = min(group, n_chunks - base)
+            fn = self._frame_fn(eff_chunk, g, W, H, n_spp, motion)
+            parts.append(np.asarray(fn(
+                params, bitfield, xf_s, xf_e, rsh, bg, key,
+                jnp.float32(fx), jnp.float32(fy), base)))
+        acc = jnp.asarray(np.concatenate(parts, 0)[: H * W])
 
         img = acc.reshape(H, W, 4)
         rgb = img[..., :3]

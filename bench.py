@@ -48,7 +48,7 @@ cfg = load_network_config("configs/nerf/base.json")
 # pinned ray count: every distinct n_rays is a fresh XLA compile (minutes
 # through the tunnel). Fox rays average ~200 kept samples (aabb 4), so
 # the 2^18 sample budget supports ~1300 full rays; 1024 keeps the
-# segment compaction fully under capacity (8192 dropped ~85% of rays
+# segment compaction fully under capacity (8192 dropped ~85%% of rays
 # per step and paid 8x the march cost).
 tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(n_rays=1024,
                                                  adapt_rays=False))

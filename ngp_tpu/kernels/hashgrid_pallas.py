@@ -315,7 +315,7 @@ def _fwd_kernel_i8(rows_ref, frac_ref, table_ref, scale_ref, out_ref,
     oh = (rows == iota_r).astype(jnp.int8)                     # (T, R)
     tbl = table_ref[0]                                         # (R,128) i8
     A = jnp.dot(oh, tbl, preferred_element_type=jnp.int32)     # (T, 128)
-    A = A.astype(jnp.float32) * scale_ref[0, 0]
+    A = A.astype(jnp.float32) * scale_ref[pl.program_id(0), 0]
 
     base = rows_ref[0, 1, :].reshape(tile, 1)
     idx = base + lane_off
@@ -406,7 +406,7 @@ def _encode_fwd_impl_i8(table, pos, meta, tile):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda l, t: (l, 0),
+            pl.BlockSpec((L, 1), lambda l, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),

@@ -447,6 +447,70 @@ class NerfRenderer:
         cache[key_] = run_group
         return run_group
 
+    def render_multichip(self, mesh, params, bitfield, camera_matrix,
+                         width: Optional[int] = None,
+                         height: Optional[int] = None,
+                         focal: Optional[tuple] = None,
+                         spp: Optional[int] = None,
+                         seed: int = 0) -> np.ndarray:
+        """Frame-parallel rendering over a device mesh: pixel chunks are
+        sharded across the ``data`` axis (rendering is embarrassingly
+        parallel — the single-chip fps ceiling is the encode's sample
+        rate, so the pod-scale path is frame slicing over ICI; SURVEY
+        §2.10). Chunk keys match ``render``'s, so a 1-device mesh
+        reproduces the single-chip image exactly."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        opts = self.opts
+        W = int(width or opts.width)
+        H = int(height or opts.height)
+        eff_chunk = min(opts.chunk, max(((W * H + 255) // 256) * 256, 256))
+        fx = float((focal or (opts.fov_axis_focal,
+                              opts.focal_y or opts.fov_axis_focal))[0])
+        fy = float((focal or (opts.fov_axis_focal,
+                              opts.focal_y or opts.fov_axis_focal))[1])
+        n_spp = int(spp or opts.spp)
+        nd = mesh.shape["data"]
+        n_chunks = -(-H * W // eff_chunk)
+        per_dev = -(-n_chunks // nd)
+        ids = np.arange(per_dev * nd, dtype=np.int32)  # padded chunk ids
+        core = self._chunk_core
+        snap = opts.snap_to_pixel_centers
+
+        def shard_fn(params, bitfield, xf_s, xf_e, rsh, bg, key, ids):
+            def body(_, c):
+                acc = jnp.zeros((eff_chunk, 4))
+                for s in range(n_spp):
+                    kc = jax.random.fold_in(key, s * 4096 + c)
+                    jit_on = jnp.asarray(not snap) & (s > 0)
+                    rgb, opac, _, _ = core(
+                        params, bitfield, xf_s, xf_e, rsh, bg, kc,
+                        c * eff_chunk, jit_on, jnp.float32(fx),
+                        jnp.float32(fy), eff_chunk, W, H, False)
+                    acc = acc + jnp.concatenate([rgb, opac[:, None]], -1)
+                return None, acc / n_spp
+            _, ys = jax.lax.scan(body, None, ids)
+            return ys                                    # (per_dev, C, 4)
+
+        fn = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P("data")),
+            out_specs=P("data"), check_rep=False))
+        xf = jnp.asarray(camera_matrix, jnp.float32)
+        with mesh:
+            ys = fn(params, bitfield, xf, xf,
+                    jnp.asarray((0.0, 0.0, 0.0, 1.0), jnp.float32),
+                    jnp.asarray(opts.background, jnp.float32),
+                    jax.random.PRNGKey(seed), jnp.asarray(ids))
+        acc = np.asarray(ys).reshape(-1, 4)[: H * W]
+        img = acc.reshape(H, W, 4)
+        rgb = img[..., :3]
+        if opts.linear_out:
+            rgb = np.asarray(srgb_to_linear(jnp.clip(
+                jnp.asarray(rgb), 0.0, None)))
+        return np.concatenate([rgb, img[..., 3:]], -1).astype(np.float32)
+
     def render(self, params, bitfield, camera_matrix: np.ndarray,
                width: Optional[int] = None, height: Optional[int] = None,
                focal: Optional[tuple] = None, spp: Optional[int] = None,

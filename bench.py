@@ -15,7 +15,7 @@ import json
 import subprocess
 import sys
 
-PROBE_TIMEOUT_S = 240
+PROBE_TIMEOUT_S = 600
 TIMEOUT_S = 2100
 TARGET_DB = 30.0
 TARGET_SECONDS = 60.0

@@ -856,9 +856,19 @@ class NerfTrainer:
             k_chunk = to_boundary if n_steps >= cadence \
                 else min(to_boundary, remaining)
             n_rays = self.tcfg.n_rays
+            if self.training_step == 0:
+                # one standalone full sweep at init (small separate jit);
+                # folding the full-sweep variant into the chunk would
+                # compile a SECOND giant scan graph (~8 min through the
+                # tunnel) that dies after step 256. In-chunk partial
+                # sweeps refresh ¼ of cells per update — 4 full passes
+                # over the reference's 256-step warmup window.
+                self.key, k0 = jax.random.split(self.key)
+                self.grid = self._grid_update(self.params, self.grid, k0,
+                                              full_sweep=True)
             # grid maintenance folded into the SAME dispatch as the chunk
             fn = self._chunk_fn(n_rays, k_chunk, with_grid_update=at_boundary,
-                                full_sweep=self.training_step < 256)
+                                full_sweep=False)
             (self.params, self.opt_state, self.cam_params, self.cam_m,
              self.cam_v, self.error_map, self.sharpness_grid, self.key,
              self.grid, loss_dev, measured, segs) = fn(

@@ -16,7 +16,7 @@ import subprocess
 import sys
 
 PROBE_TIMEOUT_S = 600
-TIMEOUT_S = 2100
+TIMEOUT_S = 3600
 TARGET_DB = 30.0
 TARGET_SECONDS = 60.0
 

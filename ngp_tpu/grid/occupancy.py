@@ -271,19 +271,37 @@ def update_grid(
         return rebuild_bitfield(grid._replace(
             density=density, ema_step=grid.ema_step + 1), max_cascade)
 
-    # block-cyclic slab sweep: one CONTIGUOUS block of ≈budget cells per
-    # update, rotating through the grid. Contiguity matters: a strided
-    # (n, stride) view lane-pads to 128 and cost ~9 s/update on v5e; a
-    # dynamic_slice read + dynamic_update_slice write is free of any
-    # relayout/scatter/gather.
+    # INTERLEAVED slab-cyclic sweep: update k refreshes every n_blocks-th
+    # z-slab (one slab = one z layer of 128² cells, contiguous in the
+    # linear layout), rotating the phase each update. Spatial interleaving
+    # is load-bearing, not cosmetic: a CONTIGUOUS half-grid block (round-3
+    # design) interacted with the relative mean threshold catastrophically
+    # on near-uniform early density — the decayed half (0.95·c) fell below
+    # the mean (0.975·c) and an entire HALF-SPACE of the scene was culled
+    # from training every window (found round 4: one partial sweep took
+    # level-0 z<64 occupancy from 95% to 0%). Slab interleave keeps
+    # refreshed/decayed cells mixed at 1-cell z granularity, so the cull
+    # pattern is spatially uniform like the reference's random ¼ sampling
+    # (ref: generate_grid_samples_nerf_nonuniform :465).
+    # Implementation stays relayout-free: rows = z-slabs (C·128, 128²);
+    # selecting every n_blocks-th row is a middle-dim slice after a
+    # (rows/n_blocks, n_blocks, 128²) reshape — the minor (lane) dim is
+    # untouched, so no scatter/gather/strided relayout anywhere.
+    n_rows = n_cascades * G
+    row_sz = G * G
     n_blocks = max(int(round(n_cells / budget)), 1)
-    n = -(-n_cells // n_blocks)                                # ceil div
-    block = (grid.ema_step % n_blocks) * n
-    idx = jnp.minimum(block + jnp.arange(n, dtype=jnp.int32),
-                      n_cells - 1)                             # (n,)
+    while n_rows % n_blocks:                     # need a divisor of rows
+        n_blocks -= 1
+    n_sel = n_rows // n_blocks
+    phase = grid.ema_step % n_blocks                           # traced
+    rows3 = jnp.arange(n_sel, dtype=jnp.int32) * n_blocks
+    row_idx = rows3 + phase                                    # (n_sel,)
+    idx = (row_idx[:, None] * row_sz
+           + jnp.arange(row_sz, dtype=jnp.int32)[None]).reshape(-1)
     level = idx // GRID_VOLUME
     x, y, z = _linear_coords(idx % GRID_VOLUME)
     cell = jnp.stack([x, y, z], -1).astype(jnp.float32)
+    n = n_sel * row_sz
     u = jax.random.uniform(k1, (n, 3))
     lv = jnp.exp2(level.astype(jnp.float32))[:, None]
     pos = ((cell + u) / NERF_GRIDSIZE - 0.5) * lv + 0.5
@@ -291,13 +309,14 @@ def update_grid(
     splat = density_fn(warped) * MIN_CONE_STEPSIZE             # (n,)
 
     # EMA decay everywhere (ref: ema_grid_samples_nerf decays all cells),
-    # max-merge the swept slab.
+    # max-merge the swept slabs via a middle-dim dynamic slice.
     decayed = grid.density * decay
-    slab = jax.lax.dynamic_slice(
-        jnp.pad(decayed, (0, n)), (block,), (n,))
-    merged = jnp.maximum(slab, splat)
+    d3 = decayed.reshape(n_sel, n_blocks, row_sz)
+    slab = jax.lax.dynamic_slice(d3, (0, phase, 0),
+                                 (n_sel, 1, row_sz))           # (n_sel,1,·)
+    merged = jnp.maximum(slab, splat.reshape(n_sel, 1, row_sz))
     new_density = jax.lax.dynamic_update_slice(
-        jnp.pad(decayed, (0, n)), merged, (block,))[:n_cells]
+        d3, merged, (0, phase, 0)).reshape(-1)
     new_density = jnp.where(grid.density < 0.0, grid.density, new_density)
 
     return rebuild_bitfield(grid._replace(

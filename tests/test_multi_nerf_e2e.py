@@ -30,9 +30,14 @@ def test_render_request_roundtrip(tmp_path):
     cfg = load_network_config("configs/nerf/base.json")
     cfg["encoding"]["n_levels"] = 6
     cfg["encoding"]["log2_hashmap_size"] = 14
+    # budget note (round 4): 2^13 samples honestly supports only ~64 full
+    # rays on this dense synthetic scene; the old config "passed" because
+    # segment truncation silently trained ~91 rays' worth while marching
+    # 512. With truncation eliminated (step-0 ray-budget probe), give the
+    # test a budget that trains ~128 rays and a couple more boundaries.
     tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
-        n_rays=512, target_batch_size=1 << 13, march_steps=1024))
-    tr.train(60)
+        n_rays=512, target_batch_size=1 << 14, march_steps=1024))
+    tr.train(96)
     snap = tmp_path / "sphere.msgpack"
     tr.save_snapshot(snap, cfg)
 

@@ -55,7 +55,10 @@ class _DpGroupRunner:
         return self.tr.training_step
 
     def train(self, k: int) -> float:
+        from ngp_tpu.dist.nerf_dp import null_error_state
         tr = self.tr
+        use_err = (tr.tcfg.sample_image_proportional_to_error or
+                   tr.tcfg.sample_focal_plane_proportional_to_error)
         loss = None
         with self.mesh:
             for _ in range(k):
@@ -66,11 +69,15 @@ class _DpGroupRunner:
                         tr.params, tr.grid, kk,
                         full_sweep=tr.training_step < 256)
                 tr.key, kk = jax.random.split(tr.key)
+                err_state = tr._error_state() if use_err \
+                    else null_error_state()
                 (tr.params, tr.opt_state, tr.cam_params, tr.cam_m,
-                 tr.cam_v, tr.error_map, loss) = self.dp_step(
+                 tr.cam_v, tr.error_map, tr.sharpness_grid,
+                 loss) = self.dp_step(
                     tr.params, tr.opt_state, tr.cam_params, tr.cam_m,
-                    tr.cam_v, tr.error_map, tr.grid.bitfield,
-                    tr.grid.coarse, tr.grid.mean, kk, tr.data)
+                    tr.cam_v, tr.error_map, tr.sharpness_grid, err_state,
+                    tr.grid.bitfield, tr.grid.coarse, tr.grid.mean, kk,
+                    tr.data)
                 tr.training_step += 1
         out = float(loss) if loss is not None else 0.0
         tr.last_loss = out

@@ -14,6 +14,11 @@ DP (the reference has one step driver, ref: src/testbed_nerf.cu:3138-3385).
 Hierarchical march, importance sampling, camera/exposure/focal
 optimization, depth supervision and the error-map deposit are all
 inherited instead of hand-cloned (the round-2 version drifted).
+
+Round-4 fix (advisor): ``err_state`` and ``sharp_grid`` are STEP
+ARGUMENTS, not closure captures — the importance-sampling CDFs refresh
+between steps and the sharpness grid is live, exactly like the
+single-device train loop.
 """
 from __future__ import annotations
 
@@ -29,36 +34,39 @@ def make_dp_train_step(trainer, mesh: Mesh, n_rays_per_device: int = 1024,
     """Build a jitted DP train step for the given NerfTrainer and mesh.
 
     Returns
-        step(params, opt_state, cam, cam_m, cam_v, error_map, bitfield,
-             coarse, grid_mean, key, data)
-          → (params, opt_state, cam, cam_m, cam_v, error_map, loss)
+        step(params, opt_state, cam, cam_m, cam_v, error_map, sharp_grid,
+             err_state, bitfield, coarse, grid_mean, key, data)
+          → (params, opt_state, cam, cam_m, cam_v, error_map, sharp_grid,
+             loss)
     All inputs replicated on the mesh; rays/samples are sharded
-    implicitly by giving each device its own RNG stream.
+    implicitly by giving each device its own RNG stream. Pass the
+    trainer's live ``sharpness_grid`` and ``trainer._error_state()`` (or
+    ``null_error_state()`` when importance sampling is off) each call so
+    the sampling distribution tracks training.
     """
-    err_state = trainer._error_state() \
-        if (trainer.tcfg.sample_image_proportional_to_error or
-            trainer.tcfg.sample_focal_plane_proportional_to_error) \
-        else {"cdf_x": None, "cdf_y": None, "cdf_img": None}
-
-    import jax.numpy as jnp
-    sharp0 = jnp.zeros((1,), jnp.float32)
-
     def per_device(params, opt_state, cam, cam_m, cam_v, error_map,
-                   bitfield, coarse, grid_mean, key, data):
+                   sharp_grid, err_state, bitfield, coarse, grid_mean,
+                   key, data):
         key = jax.random.fold_in(key, jax.lax.axis_index("data"))
-        params, opt_state, cam, cam_m, cam_v, error_map, _, stats, _ = \
-            trainer._train_step_impl(
-                params, opt_state, cam, cam_m, cam_v, error_map, sharp0,
-                err_state, bitfield, coarse, grid_mean, key, data,
-                n_rays=n_rays_per_device, axis_name="data",
+        params, opt_state, cam, cam_m, cam_v, error_map, sharp_grid, \
+            stats, _ = trainer._train_step_impl(
+                params, opt_state, cam, cam_m, cam_v, error_map,
+                sharp_grid, err_state, bitfield, coarse, grid_mean, key,
+                data, n_rays=n_rays_per_device, axis_name="data",
                 capacity=samples_per_device)
-        return params, opt_state, cam, cam_m, cam_v, error_map, stats.loss
+        return (params, opt_state, cam, cam_m, cam_v, error_map,
+                sharp_grid, stats.loss)
 
-    n_in = 11
+    n_in = 13
     sharded = shard_map(
         per_device, mesh=mesh,
         in_specs=tuple(P() for _ in range(n_in)),
-        out_specs=tuple(P() for _ in range(7)),
+        out_specs=tuple(P() for _ in range(8)),
         check_rep=False)
 
     return jax.jit(sharded)
+
+
+def null_error_state():
+    """err_state placeholder when importance sampling is disabled."""
+    return {"cdf_x": None, "cdf_y": None, "cdf_img": None}

@@ -155,6 +155,12 @@ class BlockedGridMeta:
         if env_rows:
             # ablation override: selection cost is linear in rows
             log2_rows = int(env_rows)
+        if "log2_rows" in enc:
+            # snapshot-stamped layout beats derivation AND the env knob:
+            # a stored table must decode with the geometry it was
+            # trained under (save_snapshot stamps this via
+            # BlockedGridEncoding.resolved_config)
+            log2_rows = int(enc["log2_rows"])
         row_hash = enc.get("row_hash",
                            os.environ.get("NGP_TPU_BLOCKED_HASH", "prime"))
         # never allocate more rows than the finest level can address

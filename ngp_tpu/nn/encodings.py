@@ -172,6 +172,14 @@ class BlockedGridEncoding:
         self.meta = meta
         self.n_output_dims = meta.n_output_dims
 
+    def resolved_config(self) -> dict:
+        """Layout keys that MUST persist into snapshots: a table trained
+        under one row hash / row count decodes to garbage under another
+        (round-3 advisor: flipping the default row_hash silently broke
+        old snapshots that carried no row_hash key)."""
+        return {"row_hash": self.meta.row_hash,
+                "log2_rows": self.meta.log2_rows}
+
     def init_params(self, key):
         return self.meta.init_params(key)
 

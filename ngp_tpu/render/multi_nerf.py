@@ -18,6 +18,7 @@ ref: nerf/render_modifiers.cuh:47-61).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 from typing import Callable, List, Optional
 
 import jax
@@ -165,7 +166,13 @@ class RenderRequest:
 class NeuralRadianceField:
     """Inference-side NeRF loaded from a snapshot msgpack."""
 
+    _uid_counter = itertools.count()
+
     def __init__(self, snapshot_path: str):
+        # stable identity for jit-cache keys: id() is recycled by the GC,
+        # so a new field could silently hit a dead field's compiled
+        # closure (round-3 advisor finding)
+        self.uid = next(NeuralRadianceField._uid_counter)
         import os
         from ngp_tpu.io.snapshot import import_reference_snapshot, \
             load_snapshot
@@ -364,7 +371,7 @@ class MultiNerfRenderer:
         if cache is None:
             cache = self._chunk_fns = {}
         key = (o.shape[0], round(max(near, 1e-4), 6),
-               tuple((id(p[0]), self._mask_sig(p[3])) for p in proxies))
+               tuple((p[0].uid, self._mask_sig(p[3])) for p in proxies))
         fn = cache.get(key)
         if fn is None:
             fn = self._build_chunk_fn(

@@ -20,16 +20,18 @@ def test_dp_step_runs_and_matches_shapes():
     tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
         n_rays=256, target_batch_size=2048, march_steps=64))
     mesh = make_mesh(n_data=8)
+    from ngp_tpu.dist.nerf_dp import null_error_state
     step = make_dp_train_step(tr, mesh, n_rays_per_device=128,
                               samples_per_device=1024)
+    err = null_error_state()
     with mesh:
-        p, s, cam, cm, cv, em, loss = step(
+        p, s, cam, cm, cv, em, sg, loss = step(
             tr.params, tr.opt_state, tr.cam_params, tr.cam_m, tr.cam_v,
-            tr.error_map, tr.grid.bitfield, tr.grid.coarse, tr.grid.mean,
-            tr.key, tr.data)
-        p2, s2, cam, cm, cv, em, loss2 = step(
-            p, s, cam, cm, cv, em, tr.grid.bitfield, tr.grid.coarse,
-            tr.grid.mean, jax.random.PRNGKey(2), tr.data)
+            tr.error_map, tr.sharpness_grid, err, tr.grid.bitfield,
+            tr.grid.coarse, tr.grid.mean, tr.key, tr.data)
+        p2, s2, cam, cm, cv, em, sg, loss2 = step(
+            p, s, cam, cm, cv, em, sg, err, tr.grid.bitfield,
+            tr.grid.coarse, tr.grid.mean, jax.random.PRNGKey(2), tr.data)
     assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
     # params actually changed
     before = jax.tree.leaves(tr.params)[0]
@@ -74,7 +76,8 @@ def test_dp_matches_single_device_loss_core():
     with mesh:
         p_dp, s_dp, *_, loss_dp = step(
             tr.params, tr.opt_state, tr.cam_params, tr.cam_m, tr.cam_v,
-            tr.error_map, bitfield, coarse, tr.grid.mean, key, tr.data)
+            tr.error_map, sharp0, err, bitfield, coarse, tr.grid.mean,
+            key, tr.data)
 
     np.testing.assert_allclose(float(loss_dp), float(stats_ref.loss),
                                rtol=1e-5)

@@ -89,6 +89,19 @@ class RenderOptions:
     glow_y_cutoff: float = 0.0
     # lens model for ray generation (ref: ELensMode in pixel_to_ray)
     lens_mode: str = "auto"   # auto|perspective|opencv|ftheta|latlong
+    # Wave (live-sample) mode: network evaluation runs on dynamically
+    # COUNTED fixed-shape sample blocks instead of the static
+    # march_segments × samples_per_chunk_factor slot budget — empty sky
+    # and saturated rays stop paying for slots (the reference gets this
+    # from its compact-march-infer loop, ref: NerfTracer::trace
+    # src/testbed_nerf.cu:2140-2267). Falls back to the static path for
+    # the exotic render modes (Slice/EncodingVis/Normals/…).
+    wave: bool = False
+    wave_cap: int = 64            # per-ray samples per segment (decimated)
+    # block ladder: each segment's sample total is greedily decomposed
+    # into these static shapes (large→small) — a handful of compiled
+    # shapes covers any total with ≤ min(ladder) padding waste
+    wave_ladder: tuple = (1 << 18, 1 << 15, 1 << 13)
 
 
 class NerfRenderer:
@@ -376,6 +389,241 @@ class NerfRenderer:
 
         return run
 
+    # ------------------------------------------------------------------
+    # wave (live-sample) rendering path
+    # ------------------------------------------------------------------
+
+    def _wave_cache(self):
+        c = getattr(self, "_wave_fns", None)
+        if c is None:
+            c = self._wave_fns = {}
+        return c
+
+    def _wave_march_fn(self, n_rays, W, H, motion):
+        """March a pixel chunk: rays + full lattice + occupancy filter
+        (+ crop + per-ray background) in ONE dispatch."""
+        cache = self._wave_cache()
+        key_ = ("march", n_rays, W, H, motion)
+        if key_ in cache:
+            return cache[key_]
+        opts = self.opts
+        has_crop = opts.render_aabb_min is not None
+        crop_min = jnp.asarray(opts.render_aabb_min or (0, 0, 0),
+                               jnp.float32)
+        crop_max = jnp.asarray(opts.render_aabb_max or (1, 1, 1),
+                               jnp.float32)
+
+        @jax.jit
+        def run(bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on,
+                fx, fy):
+            o, d, _, _ = self._gen_rays(key, pix0, n_rays, W, H, fx, fy,
+                                        xf_s, xf_e, rsh, jitter_on, motion)
+            t, dt, emit = march_rays(
+                bitfield, o, d, None, n_rays, opts.march_steps,
+                self.cone_angle, self.max_cascade,
+                self.aabb_min, self.aabb_size, t_start_min=0.05)
+            if has_crop:
+                ct0, ct1 = ray_aabb_intersect(o, d, crop_min, crop_max)
+                emit = emit & (t >= ct0[:, None]) & (t <= ct1[:, None])
+            if self.envmap_sampler is not None:
+                env = self.envmap_sampler(d)
+                bg_ray = env[:, :3] + bg[None, :3] * (1.0 - env[:, 3:4])
+            else:
+                bg_ray = jnp.broadcast_to(bg[None, :3], (n_rays, 3))
+            return o, d, t, dt, emit, bg_ray
+
+        cache[key_] = run
+        return run
+
+    def _wave_seg_fn(self, n_rays, si):
+        """Compact one segment's live samples (early-out via logT)."""
+        cache = self._wave_cache()
+        key_ = ("seg", n_rays, si)
+        if key_ in cache:
+            return cache[key_]
+        opts = self.opts
+        nseg = max(opts.march_segments, 1)
+        seg_len = opts.march_steps // nseg
+        S_seg = n_rays * opts.wave_cap
+        sl = slice(si * seg_len, (si + 1) * seg_len)
+
+        @jax.jit
+        def run(t, dt, emit, logT):
+            alive = jnp.exp(-logT) > opts.min_transmittance
+            emit_s = emit[:, sl] & alive[:, None]
+            emit_s, dt_m = merge_excess_samples(emit_s, dt[:, sl],
+                                                opts.wave_cap)
+            s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = \
+                compact_samples(t[:, sl], dt_m, emit_s, n_rays, S_seg)
+            return s_t, s_dt, s_ray, counts, offsets, s_k, \
+                jnp.minimum(total, S_seg)
+
+        cache[key_] = run
+        return run
+
+    def _wave_eval_fn(self, n_rays, B):
+        """Evaluate the network on ONE fixed-shape sample block at a
+        dynamic stream offset; σ/rgb land in donated full-stream buffers.
+        The block count per segment is decided on the host from the
+        segment's measured sample total — only live samples pay for
+        network evaluation."""
+        cache = self._wave_cache()
+        key_ = ("eval", n_rays, B)
+        if key_ in cache:
+            return cache[key_]
+
+        @functools.partial(jax.jit, donate_argnums=(5, 6))
+        def run(params, o, d, s_t, s_ray, sigma_buf, rgb_buf, start):
+            t_b = jax.lax.dynamic_slice(s_t, (start,), (B,))
+            r_b = jax.lax.dynamic_slice(s_ray, (start,), (B,))
+            rid = jnp.clip(r_b, 0, n_rays - 1)
+            pos = o[rid] + t_b[:, None] * d[rid]
+            pos_w = (pos - self.aabb_min) / self.aabb_size
+            dir_w = d[rid] * 0.5 + 0.5
+            rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
+            rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+            sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
+                                     -15., 15.))
+            sigma_buf = jax.lax.dynamic_update_slice(sigma_buf, sigma,
+                                                     (start,))
+            rgb_buf = jax.lax.dynamic_update_slice(rgb_buf, rgb,
+                                                   (start, 0))
+            return sigma_buf, rgb_buf
+
+        cache[key_] = run
+        return run
+
+    def _wave_comp_fn(self, n_rays):
+        """Composite one segment's evaluated stream into the frame state."""
+        cache = self._wave_cache()
+        key_ = ("comp", n_rays)
+        if key_ in cache:
+            return cache[key_]
+        opts = self.opts
+        nseg = max(opts.march_segments, 1)
+        seg_len = opts.march_steps // nseg
+
+        @jax.jit
+        def run(sigma_buf, rgb_buf, s_t, s_dt, s_ray, s_k, counts,
+                offsets, o, d, logT, rgb_acc, depth_acc, cost_acc):
+            sigma, rgb = sigma_buf, rgb_buf
+            s_dt_eff = s_dt
+            if self.masks:
+                from ngp_tpu.render.multi_nerf import apply_masks
+                rid = jnp.clip(s_ray, 0, n_rays - 1)
+                pos = o[rid] + s_t[:, None] * d[rid]
+                alpha_mult = apply_masks(self.masks, pos)
+                alpha = 1.0 - jnp.exp(-sigma * s_dt)
+                s_dt_eff = -jnp.log1p(-jnp.clip(alpha_mult * alpha, 0.0,
+                                                1.0 - 1e-7)) / \
+                    jnp.maximum(sigma, 1e-10)
+            rgb_seg, opac_seg, w = composite_samples(
+                sigma, rgb, s_dt_eff, s_ray, offsets, counts, n_rays,
+                s_k=s_k, n_k=seg_len)
+            T_in = jnp.exp(-logT)
+            rgb_acc = rgb_acc + T_in[:, None] * rgb_seg
+            depth_acc = depth_acc + T_in * jnp.zeros(
+                (n_rays,)).at[s_ray].add(w * s_t, mode="drop")
+            cost_acc = cost_acc + counts.astype(jnp.float32)
+            logT = logT - jnp.log(jnp.maximum(1.0 - opac_seg, 1e-10))
+            return logT, rgb_acc, depth_acc, cost_acc
+
+        cache[key_] = run
+        return run
+
+    def _ladder_blocks(self, total: int):
+        """Greedy decomposition of a sample total into the static block
+        ladder (largest first; ceil with the smallest rung)."""
+        ladder = sorted(self.opts.wave_ladder, reverse=True)
+        blocks = []
+        rem = int(total)
+        for i, b in enumerate(ladder):
+            if i + 1 == len(ladder):
+                n = -(-rem // b) if rem > 0 else 0
+            else:
+                n = rem // b
+            blocks += [b] * n
+            rem -= n * b
+        return blocks
+
+    def _render_chunk_wave(self, params, bitfield, xf_s, xf_e, rsh, bg,
+                           key, pix0, jitter_on, fx, fy, n_rays, W, H,
+                           motion, bufs):
+        """Wave-rendered chunk (host-orchestrated): march once, then per
+        segment compact the live samples, evaluate the network on exactly
+        ceil(total/B) blocks, and composite. Matches the static path's
+        math bit-for-bit at equal caps (test_wave_renderer)."""
+        opts = self.opts
+        mode = opts.render_mode
+        nseg = max(opts.march_segments, 1)
+        march = self._wave_march_fn(n_rays, W, H, motion)
+        o, d, t, dt, emit, bg_ray = march(
+            bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on, fx, fy)
+        sigma_buf, rgb_buf = bufs
+        logT = jnp.zeros((n_rays,))
+        rgb_acc = jnp.zeros((n_rays, 3))
+        depth_acc = jnp.zeros((n_rays,))
+        cost_acc = jnp.zeros((n_rays,))
+        comp = self._wave_comp_fn(n_rays)
+        grand_total = 0
+        for si in range(nseg):
+            s_t, s_dt, s_ray, counts, offsets, s_k, total_dev = \
+                self._wave_seg_fn(n_rays, si)(t, dt, emit, logT)
+            total = int(np.asarray(total_dev))
+            grand_total += total
+            if total == 0:
+                continue
+            start = 0
+            for B in self._ladder_blocks(total):
+                sigma_buf, rgb_buf = self._wave_eval_fn(n_rays, B)(
+                    params, o, d, s_t, s_ray, sigma_buf, rgb_buf,
+                    jnp.int32(start))
+                start += B
+            logT, rgb_acc, depth_acc, cost_acc = comp(
+                sigma_buf, rgb_buf, s_t, s_dt, s_ray, s_k, counts,
+                offsets, o, d, logT, rgb_acc, depth_acc, cost_acc)
+        opacity = 1.0 - jnp.exp(-logT)
+        rgb_out = rgb_acc + jnp.exp(-logT)[:, None] * bg_ray
+        if mode == RenderMode.DEPTH:
+            rgb_out = jnp.repeat(
+                (depth_acc / jnp.maximum(opacity, 1e-6))[:, None], 3, 1)
+        elif mode == RenderMode.AO:
+            rgb_out = jnp.repeat(opacity[:, None], 3, axis=1)
+        elif mode == RenderMode.COST:
+            rgb_out = jnp.repeat(cost_acc[:, None] / 128.0, 3, axis=1)
+        return rgb_out, opacity, grand_total, (sigma_buf, rgb_buf)
+
+    def _wave_supported(self):
+        o = self.opts
+        return o.wave and o.render_mode in (
+            RenderMode.SHADE, RenderMode.DEPTH, RenderMode.AO,
+            RenderMode.COST) and o.glow_mode == 0 and \
+            o.march_steps % max(o.march_segments, 1) == 0
+
+    def _render_wave(self, params, bitfield, xf_s, xf_e, rsh, bg, key,
+                     eff_chunk, n_chunks, W, H, n_spp, fx, fy, motion):
+        """Full-frame wave render: host loop over (chunk, spp)."""
+        opts = self.opts
+        S_seg = eff_chunk * opts.wave_cap
+        bufs = (jnp.zeros((S_seg,)), jnp.zeros((S_seg, 3)))
+        snap = opts.snap_to_pixel_centers
+        acc = np.zeros((n_chunks * eff_chunk, 4), np.float32)
+        self.last_wave_samples = 0
+        for c in range(n_chunks):
+            part = np.zeros((eff_chunk, 4), np.float32)
+            for s in range(n_spp):
+                kc = jax.random.fold_in(key, s * 4096 + c)
+                jit_on = jnp.asarray(not snap) & (s > 0)
+                rgb, opac, tot, bufs = self._render_chunk_wave(
+                    params, bitfield, xf_s, xf_e, rsh, bg, kc,
+                    c * eff_chunk, jit_on, jnp.float32(fx),
+                    jnp.float32(fy), eff_chunk, W, H, motion, bufs)
+                part += np.asarray(
+                    jnp.concatenate([rgb, opac[:, None]], -1)) / n_spp
+                self.last_wave_samples += tot
+            acc[c * eff_chunk:(c + 1) * eff_chunk] = part
+        return acc
+
     def _slice_mode(self, params, o, d, xf, bg, n_rays):
         """SLICE: evaluate rgbσ on the plane through the scene center
         offset by slice_plane_z along the camera forward axis; no
@@ -543,16 +791,21 @@ class NerfRenderer:
         key = jax.random.PRNGKey(seed)
 
         n_chunks = -(-H * W // eff_chunk)
-        group = max(min(opts.dispatch_chunks, n_chunks), 1)
         motion = camera_matrix_end is not None
-        parts = []
-        for base in range(0, n_chunks, group):
-            g = min(group, n_chunks - base)
-            fn = self._frame_fn(eff_chunk, g, W, H, n_spp, motion)
-            parts.append(np.asarray(fn(
-                params, bitfield, xf_s, xf_e, rsh, bg, key,
-                jnp.float32(fx), jnp.float32(fy), base)))
-        acc = jnp.asarray(np.concatenate(parts, 0)[: H * W])
+        if self._wave_supported():
+            acc = jnp.asarray(self._render_wave(
+                params, bitfield, xf_s, xf_e, rsh, bg, key, eff_chunk,
+                n_chunks, W, H, n_spp, fx, fy, motion)[: H * W])
+        else:
+            group = max(min(opts.dispatch_chunks, n_chunks), 1)
+            parts = []
+            for base in range(0, n_chunks, group):
+                g = min(group, n_chunks - base)
+                fn = self._frame_fn(eff_chunk, g, W, H, n_spp, motion)
+                parts.append(np.asarray(fn(
+                    params, bitfield, xf_s, xf_e, rsh, bg, key,
+                    jnp.float32(fx), jnp.float32(fy), base)))
+            acc = jnp.asarray(np.concatenate(parts, 0)[: H * W])
 
         img = acc.reshape(H, W, 4)
         rgb = img[..., :3]

@@ -34,6 +34,8 @@ def main():
     # crashed the TPU worker; 2^14 keeps it ~300 MB
     p.add_argument("--chunk", type=int, default=1 << 14)
     p.add_argument("--grid_impl", default="blocked")
+    p.add_argument("--wave", action="store_true",
+                   help="live-sample wave path (dynamic block dispatch)")
     args = p.parse_args()
     os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
 
@@ -63,7 +65,7 @@ def main():
     fx = H * 1.2
     r = NerfRenderer.for_trainer(tr, RenderOptions(
         width=W, height=H, background=(0, 0, 0, 0), linear_out=False,
-        chunk=args.chunk))
+        chunk=args.chunk, wave=args.wave))
     xf = ds.xforms[0]
 
     t0 = time.time()
@@ -74,8 +76,12 @@ def main():
         img = r.render(tr.params, grid.bitfield, xf, W, H, focal=(fx, fx),
                        seed=i)
     dt = (time.time() - t0) / args.frames
+    extra = ""
+    if args.wave:
+        extra = f" wave_samples={getattr(r, 'last_wave_samples', 0)}"
     print(f"{W}x{H} spp1: {dt * 1e3:.1f} ms/frame = {1.0 / dt:.2f} fps "
-          f"(mean alpha {float(img[..., 3].mean()):.3f})", flush=True)
+          f"(mean alpha {float(img[..., 3].mean()):.3f}){extra}",
+          flush=True)
 
 
 if __name__ == "__main__":

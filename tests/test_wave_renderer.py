@@ -1,0 +1,90 @@
+"""Wave (live-sample) renderer: must match the static segmented path
+bit-for-bit at equal per-segment caps (the wave path changes WHERE network
+evaluation happens — dynamically counted fixed-shape blocks — not the
+math; ref analog: NerfTracer::trace compaction loop,
+src/testbed_nerf.cu:2140-2267)."""
+import numpy as np
+import pytest
+
+from synthetic import make_orbit_dataset
+
+
+def _setup(march_steps=256, res=16):
+    import jax.numpy as jnp
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 12
+    ds = make_orbit_dataset(res=res)
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=256, target_batch_size=2048, march_steps=march_steps))
+    tr.train(4)    # non-trivial density field
+    bits = jnp.full_like(tr.grid.bitfield, 255)
+    return tr, ds, bits
+
+
+@pytest.mark.parametrize("mode_name", ["SHADE", "DEPTH", "AO"])
+def test_wave_matches_static(mode_name):
+    from ngp_tpu.common import RenderMode
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+
+    tr, ds, bits = _setup()
+    kw = dict(width=12, height=12, march_steps=256, chunk=64,
+              march_segments=4, render_mode=RenderMode[mode_name],
+              linear_out=False, background=(0.2, 0.1, 0.3, 0.0))
+    r_static = NerfRenderer.for_trainer(tr, RenderOptions(
+        samples_per_chunk_factor=32, **kw))
+    r_wave = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave=True, wave_cap=32, wave_ladder=(512, 128), **kw))
+    img_s = r_static.render(tr.params, bits, ds.xforms[0], 12, 12,
+                            focal=(14., 14.))
+    img_w = r_wave.render(tr.params, bits, ds.xforms[0], 12, 12,
+                          focal=(14., 14.))
+    assert np.isfinite(img_w).all()
+    np.testing.assert_allclose(img_w, img_s, rtol=2e-4, atol=2e-5)
+
+
+def test_wave_counts_live_samples_only():
+    """An empty bitfield ⇒ zero network evaluations (the static path
+    would still pay every slot)."""
+    import jax.numpy as jnp
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+
+    tr, ds, _ = _setup()
+    r = NerfRenderer.for_trainer(tr, RenderOptions(
+        width=8, height=8, march_steps=256, chunk=64, wave=True,
+        linear_out=False, background=(0.5, 0.5, 0.5, 0.0)))
+    empty = jnp.zeros_like(tr.grid.bitfield)
+    img = r.render(tr.params, empty, ds.xforms[0], 8, 8, focal=(10., 10.))
+    assert r.last_wave_samples == 0
+    np.testing.assert_allclose(img[..., :3], 0.5, atol=1e-6)
+    np.testing.assert_allclose(img[..., 3], 0.0, atol=1e-6)
+
+
+def test_wave_spp_and_masks():
+    """spp accumulation + Mask3D alpha modulation agree with the static
+    path under snap-to-centers (deterministic rays)."""
+    from ngp_tpu.common import RenderMode
+    from ngp_tpu.render.multi_nerf import Mask3D
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+
+    tr, ds, bits = _setup()
+    xf = np.eye(4, dtype=np.float32)
+    xf[:3, 3] = 0.5
+    mask = Mask3D(shape="box", transform=xf,
+                  dims=np.asarray([0.4, 0.4, 0.4], np.float32),
+                  feather=0.1)
+    kw = dict(width=8, height=8, march_steps=256, chunk=64,
+              march_segments=2, render_mode=RenderMode.SHADE,
+              linear_out=False, snap_to_pixel_centers=True, spp=2)
+    r_s = NerfRenderer.for_trainer(tr, RenderOptions(
+        samples_per_chunk_factor=32, **kw), masks=[mask])
+    r_w = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave=True, wave_cap=32, wave_ladder=(256,), **kw), masks=[mask])
+    img_s = r_s.render(tr.params, bits, ds.xforms[0], 8, 8,
+                       focal=(10., 10.), spp=2)
+    img_w = r_w.render(tr.params, bits, ds.xforms[0], 8, 8,
+                       focal=(10., 10.), spp=2)
+    np.testing.assert_allclose(img_w, img_s, rtol=2e-4, atol=2e-5)

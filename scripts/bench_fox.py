@@ -41,6 +41,14 @@ def main():
                    help="upstream instant-ngp mapping for classic captures")
     p.add_argument("--world_offset", type=float, nargs=3,
                    default=[0.5, 0.5, 0.5])
+    p.add_argument("--importance", action="store_true",
+                   help="error-map importance sampling (image + focal "
+                        "plane CDFs; ref default-on via transforms.json)")
+    p.add_argument("--lr_decay", type=int, default=0,
+                   help="ExponentialDecay decay_start override (steps); "
+                        "0 keeps the config (20k = never in short runs)")
+    p.add_argument("--lr_decay_interval", type=int, default=500)
+    p.add_argument("--lr_decay_base", type=float, default=0.33)
     args = p.parse_args()
     os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
 
@@ -61,6 +69,14 @@ def main():
     if args.fixed_rays:
         tcfg.n_rays = args.fixed_rays
         tcfg.adapt_rays = False
+    if args.importance:
+        tcfg.sample_image_proportional_to_error = True
+        tcfg.sample_focal_plane_proportional_to_error = True
+    if args.lr_decay:
+        opt = cfg["optimizer"]["nested"]
+        opt["decay_start"] = args.lr_decay
+        opt["decay_interval"] = args.lr_decay_interval
+        opt["decay_base"] = args.lr_decay_base
     tl = _t.time()
     tr = NerfTrainer(ds, cfg, tcfg=tcfg)
     print("init done %.1fs; grid impl: %s" % (_t.time() - tl,

@@ -283,12 +283,28 @@ class MultiNerfRenderer:
     src/nerf_renderer.cu:565-791)."""
 
     def __init__(self, march_steps: int = 512, chunk: int = 1 << 13,
-                 samples_per_ray: int = 32, march_segments: int = 8):
+                 samples_per_ray: int = 32, march_segments: int = 8,
+                 composite_mode: str = "sum"):
         self.fields: dict[str, NeuralRadianceField] = {}
         self.march_steps = march_steps
         self.chunk = chunk
         self.samples_per_ray = samples_per_ray   # per-proxy cap PER SEGMENT
         self.march_segments = march_segments
+        # Overlapping-proxy semantics. "sum" (default): densities of all
+        # active proxies superpose at each lattice point — physically a
+        # mixture of participating media. "nearest": the reference's
+        # per-step proxy culling (only the proxy whose next sample is
+        # nearest the camera composites each step,
+        # ref: cull_global_rays_..._kernel src/nerf_renderer.cu:376-428);
+        # on the shared world lattice every active proxy's "next sample"
+        # is the same point, so the cull degenerates to its tie-break —
+        # first alive proxy wins — i.e. exclusive descriptor-order
+        # priority inside overlaps. See tests/test_multi_nerf_e2e.py
+        # (composite-mode A/B) for the observable difference with
+        # opacity < 1.
+        if composite_mode not in ("sum", "nearest"):
+            raise ValueError("composite_mode must be 'sum' or 'nearest'")
+        self.composite_mode = composite_mode
 
     def _field(self, path: str) -> NeuralRadianceField:
         if path not in self.fields:
@@ -370,7 +386,7 @@ class MultiNerfRenderer:
         cache = getattr(self, "_chunk_fns", None)
         if cache is None:
             cache = self._chunk_fns = {}
-        key = (o.shape[0], round(max(near, 1e-4), 6),
+        key = (o.shape[0], round(max(near, 1e-4), 6), self.composite_mode,
                tuple((p[0].uid, self._mask_sig(p[3])) for p in proxies))
         fn = cache.get(key)
         if fn is None:
@@ -426,6 +442,10 @@ class MultiNerfRenderer:
                 flat_pw = pw.reshape(-1, 3)
                 sigma_sum = jnp.zeros((n_rays, seg_len))
                 rgb_sum = jnp.zeros((n_rays, seg_len, 3))
+                # "nearest" mode: lattice points already claimed by an
+                # earlier proxy are dead to later ones (the shared-lattice
+                # limit of the reference's nearest-sample proxy cull)
+                claimed = jnp.zeros((n_rays, seg_len), bool)
                 for (field, prm, bitfield, R3, tr, dl, scale, masks,
                      opacity) in pre:
                     pl = flat_pw @ R3.T + tr                # local positions
@@ -437,6 +457,9 @@ class MultiNerfRenderer:
                     occd = occ.occupied_at(bitfield, pl, mip)
                     active = (inside & occd).reshape(n_rays, seg_len) & \
                         alive[:, None]
+                    if self.composite_mode == "nearest":
+                        active = active & ~claimed
+                        claimed = claimed | active
                     # no truncation: rays over the per-segment budget are
                     # DECIMATED with dt compensation (optical depth kept;
                     # the ref marches to completion,

@@ -78,6 +78,28 @@ def test_render_request_roundtrip(tmp_path):
     img3 = r.render(req3)
     assert img3.shape == (16, 16, 4)
 
+    # composite-mode A/B (ref nearest-proxy cull, nerf_renderer.cu:376-428):
+    # two IDENTICAL overlapping proxies at opacity 0.5. "sum" superposes
+    # their densities (0.5σ + 0.5σ = σ → as opaque as one full proxy);
+    # "nearest" lets the first proxy claim each lattice point exclusively
+    # (→ identical to rendering a single proxy at opacity 0.5).
+    half2 = [NerfDescriptor(snapshot_path=str(snap), opacity=0.5),
+             NerfDescriptor(snapshot_path=str(snap), opacity=0.5)]
+    req_ab = RenderRequest(output=out, camera=cam, nerfs=half2)
+    img_sum = r.render(req_ab)
+    rn = MultiNerfRenderer(march_steps=1024, chunk=1 << 10,
+                           composite_mode="nearest")
+    rn.fields = r.fields          # share loaded fields (same snapshot)
+    img_near = rn.render(req_ab)
+    img_half = rn.render(RenderRequest(
+        output=out, camera=cam,
+        nerfs=[NerfDescriptor(snapshot_path=str(snap), opacity=0.5)]))
+    c = (16, 16)
+    assert abs(img_near[c][3] - img_half[c][3]) < 2e-2, \
+        (img_near[c], img_half[c])
+    assert img_sum[c][3] > img_near[c][3] + 0.05, \
+        (img_sum[c], img_near[c])
+
 
 @pytest.mark.slow
 def test_render_request_spp_dof_tonemap(tmp_path):

@@ -71,7 +71,11 @@ def _densify_floatgrid(payload: bytes, meta: NvdbMetadata) -> np.ndarray:
     the index bbox. Uses the fixed ABI offsets of v32.3 (the version the
     reference vendors); leaves are 8³ float arrays with a value mask."""
     ib = meta.index_bbox
-    size = (ib[1] - ib[0])
+    # file indexBBox max is INCLUSIVE (OpenVDB CoordBBox convention; the
+    # root's mBBox is a CoordBBox — NanoVDB.h:2719). Note the reference's
+    # own loader iterates [min, max) and so drops the last slice of real
+    # files (testbed_volume.cu:608-611); we decode the true extent.
+    size = (ib[1] - ib[0]) + 1
     if np.any(size <= 0) or np.prod(size.astype(np.int64)) > (1 << 30):
         raise ValueError(f"unreasonable index bbox {ib}")
     dense = np.zeros(tuple(size), np.float32)
@@ -93,22 +97,26 @@ def _densify_floatgrid(payload: bytes, meta: NvdbMetadata) -> np.ndarray:
         "<3I", payload, tree_off + 32)
     leaf_off = tree_off + node_off[0]
 
-    # LeafData<float> (v32.x): BBox<Coord> bbox (24B=6×i32) + flags (8B)
-    # + valueMask (64B) + min,max,avg,dev (16B) + values[512] (2048B)
-    LEAF_SIZE = 24 + 8 + 64 + 16 + 512 * 4
+    # LeafData<float> (v32.3, NanoVDB.h:3354): mBBoxMin (12B=3×i32) +
+    # mBBoxDif (3×u8) + mFlags (u8) + valueMask (64B) + min,max,avg,dev
+    # (16B) + values[512] (2048B) → 2144B (32-aligned)
+    LEAF_SIZE = 12 + 3 + 1 + 64 + 16 + 512 * 4
     for i in range(leaf_count):
         base = leaf_off + i * LEAF_SIZE
         bmin = np.frombuffer(payload, np.int32, 3, base)
-        vals = np.frombuffer(payload, np.float32, 512, base + 24 + 8 + 64 + 16)
-        # leaf origin is bbox min rounded down to multiple of 8
+        vals = np.frombuffer(payload, np.float32, 512, base + 96)
+        # leaf origin is bbox min rounded down to multiple of 8; boundary
+        # leaves may overhang the index bbox — copy the overlap only
         org = (bmin & ~7) - ib[0]
-        v = vals.reshape(8, 8, 8)  # x-major? NanoVDB leaves are z-fastest
-        xs = slice(org[0], org[0] + 8)
-        ys = slice(org[1], org[1] + 8)
-        zs = slice(org[2], org[2] + 8)
-        if (org < 0).any() or (org + 8 > size).any():
+        v = vals.reshape(8, 8, 8)  # CoordToOffset: x-major, z fastest
+        lo = np.maximum(org, 0)
+        hi = np.minimum(org + 8, size)
+        if (hi <= lo).any():
             continue
-        dense[xs, ys, zs] = v
+        dense[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = \
+            v[lo[0] - org[0]:hi[0] - org[0],
+              lo[1] - org[1]:hi[1] - org[1],
+              lo[2] - org[2]:hi[2] - org[2]]
     return dense
 
 

@@ -98,10 +98,6 @@ class RenderOptions:
     # the exotic render modes (Slice/EncodingVis/Normals/…).
     wave: bool = False
     wave_cap: int = 64            # per-ray samples per segment (decimated)
-    # block ladder: each segment's sample total is greedily decomposed
-    # into these static shapes (large→small) — a handful of compiled
-    # shapes covers any total with ≤ min(ladder) padding waste
-    wave_ladder: tuple = (1 << 18, 1 << 15, 1 << 13)
 
 
 class NerfRenderer:
@@ -435,68 +431,40 @@ class NerfRenderer:
         cache[key_] = run
         return run
 
-    def _wave_seg_fn(self, n_rays, si):
-        """Compact one segment's live samples (early-out via logT)."""
+    def _wave_count_fn(self, n_rays, si):
+        """One cheap dispatch per segment: slice the lattice, apply the
+        transmittance early-out + per-ray decimation, and COUNT the live
+        samples. The count crosses to the host and picks the bucket the
+        fused body compiles at."""
         cache = self._wave_cache()
-        key_ = ("seg", n_rays, si)
+        key_ = ("count", n_rays, si)
         if key_ in cache:
             return cache[key_]
         opts = self.opts
         nseg = max(opts.march_segments, 1)
         seg_len = opts.march_steps // nseg
-        S_seg = n_rays * opts.wave_cap
         sl = slice(si * seg_len, (si + 1) * seg_len)
 
         @jax.jit
         def run(t, dt, emit, logT):
             alive = jnp.exp(-logT) > opts.min_transmittance
             emit_s = emit[:, sl] & alive[:, None]
-            emit_s, dt_m = merge_excess_samples(emit_s, dt[:, sl],
+            emit_m, dt_m = merge_excess_samples(emit_s, dt[:, sl],
                                                 opts.wave_cap)
-            s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = \
-                compact_samples(t[:, sl], dt_m, emit_s, n_rays, S_seg)
-            return s_t, s_dt, s_ray, counts, offsets, s_k, \
-                jnp.minimum(total, S_seg)
+            return t[:, sl], emit_m, dt_m, emit_m.sum()
 
         cache[key_] = run
         return run
 
-    def _wave_eval_fn(self, n_rays, B):
-        """Evaluate the network on ONE fixed-shape sample block at a
-        dynamic stream offset; σ/rgb land in donated full-stream buffers.
-        The block count per segment is decided on the host from the
-        segment's measured sample total — only live samples pay for
-        network evaluation."""
+    def _wave_body_fn(self, n_rays, S):
+        """Fused compact→network-eval→composite for one segment at a
+        host-chosen static stream capacity S (power-of-2 bucket ≥ the
+        segment's measured live total — round-4 profile: the round-1 wave
+        path ran every stream op at the n_rays·wave_cap worst case, which
+        made compaction+composite 8× the network cost). Everything here
+        scales with S, and XLA fuses the stream math into the MLP."""
         cache = self._wave_cache()
-        key_ = ("eval", n_rays, B)
-        if key_ in cache:
-            return cache[key_]
-
-        @functools.partial(jax.jit, donate_argnums=(5, 6))
-        def run(params, o, d, s_t, s_ray, sigma_buf, rgb_buf, start):
-            t_b = jax.lax.dynamic_slice(s_t, (start,), (B,))
-            r_b = jax.lax.dynamic_slice(s_ray, (start,), (B,))
-            rid = jnp.clip(r_b, 0, n_rays - 1)
-            pos = o[rid] + t_b[:, None] * d[rid]
-            pos_w = (pos - self.aabb_min) / self.aabb_size
-            dir_w = d[rid] * 0.5 + 0.5
-            rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
-            rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
-            sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
-                                     -15., 15.))
-            sigma_buf = jax.lax.dynamic_update_slice(sigma_buf, sigma,
-                                                     (start,))
-            rgb_buf = jax.lax.dynamic_update_slice(rgb_buf, rgb,
-                                                   (start, 0))
-            return sigma_buf, rgb_buf
-
-        cache[key_] = run
-        return run
-
-    def _wave_comp_fn(self, n_rays):
-        """Composite one segment's evaluated stream into the frame state."""
-        cache = self._wave_cache()
-        key_ = ("comp", n_rays)
+        key_ = ("body", n_rays, S)
         if key_ in cache:
             return cache[key_]
         opts = self.opts
@@ -504,14 +472,21 @@ class NerfRenderer:
         seg_len = opts.march_steps // nseg
 
         @jax.jit
-        def run(sigma_buf, rgb_buf, s_t, s_dt, s_ray, s_k, counts,
-                offsets, o, d, logT, rgb_acc, depth_acc, cost_acc):
-            sigma, rgb = sigma_buf, rgb_buf
+        def run(params, o, d, t_seg, emit_m, dt_m, logT, rgb_acc,
+                depth_acc, cost_acc):
+            s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = \
+                compact_samples(t_seg, dt_m, emit_m, n_rays, S)
+            rid = jnp.clip(s_ray, 0, n_rays - 1)
+            pos = o[rid] + s_t[:, None] * d[rid]
+            pos_w = (pos - self.aabb_min) / self.aabb_size
+            dir_w = d[rid] * 0.5 + 0.5
+            rgb_raw, dens_raw = self.model.apply(params, pos_w, dir_w)
+            rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+            sigma = jnp.exp(jnp.clip(dens_raw.astype(jnp.float32),
+                                     -15., 15.))
             s_dt_eff = s_dt
             if self.masks:
                 from ngp_tpu.render.multi_nerf import apply_masks
-                rid = jnp.clip(s_ray, 0, n_rays - 1)
-                pos = o[rid] + s_t[:, None] * d[rid]
                 alpha_mult = apply_masks(self.masks, pos)
                 alpha = 1.0 - jnp.exp(-sigma * s_dt)
                 s_dt_eff = -jnp.log1p(-jnp.clip(alpha_mult * alpha, 0.0,
@@ -531,57 +506,38 @@ class NerfRenderer:
         cache[key_] = run
         return run
 
-    def _ladder_blocks(self, total: int):
-        """Greedy decomposition of a sample total into the static block
-        ladder (largest first; ceil with the smallest rung)."""
-        ladder = sorted(self.opts.wave_ladder, reverse=True)
-        blocks = []
-        rem = int(total)
-        for i, b in enumerate(ladder):
-            if i + 1 == len(ladder):
-                n = -(-rem // b) if rem > 0 else 0
-            else:
-                n = rem // b
-            blocks += [b] * n
-            rem -= n * b
-        return blocks
-
     def _render_chunk_wave(self, params, bitfield, xf_s, xf_e, rsh, bg,
                            key, pix0, jitter_on, fx, fy, n_rays, W, H,
-                           motion, bufs):
+                           motion):
         """Wave-rendered chunk (host-orchestrated): march once, then per
-        segment compact the live samples, evaluate the network on exactly
-        ceil(total/B) blocks, and composite. Matches the static path's
-        math bit-for-bit at equal caps (test_wave_renderer)."""
+        segment count the live samples, pick the smallest power-of-2
+        stream bucket that holds them, and run the fused
+        compact+eval+composite body at that size. Matches the static
+        path's math bit-for-bit at equal caps (test_wave_renderer)."""
         opts = self.opts
         mode = opts.render_mode
         nseg = max(opts.march_segments, 1)
         march = self._wave_march_fn(n_rays, W, H, motion)
         o, d, t, dt, emit, bg_ray = march(
             bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on, fx, fy)
-        sigma_buf, rgb_buf = bufs
         logT = jnp.zeros((n_rays,))
         rgb_acc = jnp.zeros((n_rays, 3))
         depth_acc = jnp.zeros((n_rays,))
         cost_acc = jnp.zeros((n_rays,))
-        comp = self._wave_comp_fn(n_rays)
         grand_total = 0
+        S_max = n_rays * opts.wave_cap
         for si in range(nseg):
-            s_t, s_dt, s_ray, counts, offsets, s_k, total_dev = \
-                self._wave_seg_fn(n_rays, si)(t, dt, emit, logT)
+            t_seg, emit_m, dt_m, total_dev = \
+                self._wave_count_fn(n_rays, si)(t, dt, emit, logT)
             total = int(np.asarray(total_dev))
             grand_total += total
             if total == 0:
                 continue
-            start = 0
-            for B in self._ladder_blocks(total):
-                sigma_buf, rgb_buf = self._wave_eval_fn(n_rays, B)(
-                    params, o, d, s_t, s_ray, sigma_buf, rgb_buf,
-                    jnp.int32(start))
-                start += B
-            logT, rgb_acc, depth_acc, cost_acc = comp(
-                sigma_buf, rgb_buf, s_t, s_dt, s_ray, s_k, counts,
-                offsets, o, d, logT, rgb_acc, depth_acc, cost_acc)
+            S = min(1 << max(12, (total - 1).bit_length()), S_max)
+            logT, rgb_acc, depth_acc, cost_acc = \
+                self._wave_body_fn(n_rays, S)(
+                    params, o, d, t_seg, emit_m, dt_m, logT, rgb_acc,
+                    depth_acc, cost_acc)
         opacity = 1.0 - jnp.exp(-logT)
         rgb_out = rgb_acc + jnp.exp(-logT)[:, None] * bg_ray
         if mode == RenderMode.DEPTH:
@@ -591,7 +547,7 @@ class NerfRenderer:
             rgb_out = jnp.repeat(opacity[:, None], 3, axis=1)
         elif mode == RenderMode.COST:
             rgb_out = jnp.repeat(cost_acc[:, None] / 128.0, 3, axis=1)
-        return rgb_out, opacity, grand_total, (sigma_buf, rgb_buf)
+        return rgb_out, opacity, grand_total
 
     def _wave_supported(self):
         o = self.opts
@@ -604,8 +560,6 @@ class NerfRenderer:
                      eff_chunk, n_chunks, W, H, n_spp, fx, fy, motion):
         """Full-frame wave render: host loop over (chunk, spp)."""
         opts = self.opts
-        S_seg = eff_chunk * opts.wave_cap
-        bufs = (jnp.zeros((S_seg,)), jnp.zeros((S_seg, 3)))
         snap = opts.snap_to_pixel_centers
         acc = np.zeros((n_chunks * eff_chunk, 4), np.float32)
         self.last_wave_samples = 0
@@ -614,10 +568,10 @@ class NerfRenderer:
             for s in range(n_spp):
                 kc = jax.random.fold_in(key, s * 4096 + c)
                 jit_on = jnp.asarray(not snap) & (s > 0)
-                rgb, opac, tot, bufs = self._render_chunk_wave(
+                rgb, opac, tot = self._render_chunk_wave(
                     params, bitfield, xf_s, xf_e, rsh, bg, kc,
                     c * eff_chunk, jit_on, jnp.float32(fx),
-                    jnp.float32(fy), eff_chunk, W, H, motion, bufs)
+                    jnp.float32(fy), eff_chunk, W, H, motion)
                 part += np.asarray(
                     jnp.concatenate([rgb, opac[:, None]], -1)) / n_spp
                 self.last_wave_samples += tot

@@ -37,7 +37,7 @@ def test_wave_matches_static(mode_name):
     r_static = NerfRenderer.for_trainer(tr, RenderOptions(
         samples_per_chunk_factor=32, **kw))
     r_wave = NerfRenderer.for_trainer(tr, RenderOptions(
-        wave=True, wave_cap=32, wave_ladder=(512, 128), **kw))
+        wave=True, wave_cap=32, **kw))
     img_s = r_static.render(tr.params, bits, ds.xforms[0], 12, 12,
                             focal=(14., 14.))
     img_w = r_wave.render(tr.params, bits, ds.xforms[0], 12, 12,
@@ -82,7 +82,7 @@ def test_wave_spp_and_masks():
     r_s = NerfRenderer.for_trainer(tr, RenderOptions(
         samples_per_chunk_factor=32, **kw), masks=[mask])
     r_w = NerfRenderer.for_trainer(tr, RenderOptions(
-        wave=True, wave_cap=32, wave_ladder=(256,), **kw), masks=[mask])
+        wave=True, wave_cap=32, **kw), masks=[mask])
     img_s = r_s.render(tr.params, bits, ds.xforms[0], 8, 8,
                        focal=(10., 10.), spp=2)
     img_w = r_w.render(tr.params, bits, ds.xforms[0], 8, 8,

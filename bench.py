@@ -56,8 +56,13 @@ cfg = load_network_config("configs/nerf/base.json")
 # the 2^18 sample budget supports ~1300 full rays; 1024 keeps the
 # segment compaction fully under capacity (8192 dropped ~85%% of rays
 # per step and paid 8x the march cost).
-tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(n_rays=1024,
-                                                 adapt_rays=False))
+# error-map importance sampling (ref default via transforms.json): the
+# measured round-4 lever that first crossed 30 dB from scratch
+# (30.03 dB @3072 steps vs 29.65 plain at equal steps)
+tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+    n_rays=1024, adapt_rays=False,
+    sample_image_proportional_to_error=True,
+    sample_focal_plane_proportional_to_error=True))
 
 view, scale = 0, 4
 W = int(ds.resolution[view][0]) // scale

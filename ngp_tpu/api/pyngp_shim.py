@@ -19,6 +19,7 @@ import threading
 import numpy as np
 
 from ngp_tpu.api.testbed import Testbed as _Testbed
+from ngp_tpu.common import BoundingBox  # noqa: F401  (pyngp surface)
 from ngp_tpu.common import TestbedMode as _Mode
 
 
@@ -118,69 +119,6 @@ class MeshSdfMode(enum.IntEnum):
     Watertight = 0
     Raystab = 1
     PathEscape = 2
-
-
-class BoundingBox:
-    """Mirror of the reference's BoundingBox pybind surface."""
-
-    def __init__(self, min=(0, 0, 0), max=(1, 1, 1)):
-        self.min = np.asarray(min, np.float32)
-        self.max = np.asarray(max, np.float32)
-
-    def center(self):
-        return (self.min + self.max) / 2
-
-    def diag(self):
-        return self.max - self.min
-
-    def contains(self, p):
-        p = np.asarray(p)
-        return bool(np.all(p >= self.min) and np.all(p <= self.max))
-
-    def enlarge(self, other):
-        if isinstance(other, BoundingBox):
-            self.min = np.minimum(self.min, other.min)
-            self.max = np.maximum(self.max, other.max)
-        else:
-            self.min = np.minimum(self.min, other)
-            self.max = np.maximum(self.max, other)
-
-    def inflate(self, amount):
-        self.min -= amount
-        self.max += amount
-
-    def intersection(self, other):
-        return BoundingBox(np.maximum(self.min, other.min),
-                           np.minimum(self.max, other.max))
-
-    def intersects(self, other):
-        return bool(np.all(self.max >= other.min) and
-                    np.all(self.min <= other.max))
-
-    def relative_pos(self, p):
-        return (np.asarray(p) - self.min) / np.maximum(self.diag(), 1e-12)
-
-    def distance(self, p):
-        return float(np.sqrt(self.distance_sq(p)))
-
-    def distance_sq(self, p):
-        d = np.maximum(np.maximum(self.min - p, 0), p - self.max)
-        return float(np.dot(d, d))
-
-    def ray_intersect(self, o, d):
-        from ngp_tpu.rays.camera import ray_aabb_intersect
-        import jax.numpy as jnp
-        tmin, tmax = ray_aabb_intersect(
-            jnp.asarray(o)[None], jnp.asarray(d)[None],
-            jnp.asarray(self.min), jnp.asarray(self.max))
-        return float(tmin[0]), float(tmax[0])
-
-    def get_vertices(self):
-        out = []
-        for c in range(8):
-            out.append([self.max[k] if (c >> k) & 1 else self.min[k]
-                        for k in range(3)])
-        return np.asarray(out, np.float32)
 
 
 # re-export the render-request data model

@@ -19,8 +19,9 @@ from typing import Optional
 
 import numpy as np
 
-from ngp_tpu.common import (EmaMeter, TestbedMode, TonemapCurve, ColorSpace,
-                            RenderMode, linear_to_srgb_np, mse2psnr)
+from ngp_tpu.common import (BoundingBox, EmaMeter, TestbedMode, TonemapCurve,
+                            ColorSpace, RenderMode, linear_to_srgb_np,
+                            mse2psnr)
 from ngp_tpu.config import default_config_path, load_network_config
 
 
@@ -97,6 +98,34 @@ class Testbed:
         self.sun_dir = np.array([0.577, 0.577, 0.577], np.float32)
         self.up_dir = np.array([0.0, 1.0, 0.0], np.float32)
 
+        # remaining pyngp readwrite surface (ref: python_api.cu:650-732).
+        # GUI-bound knobs are stored but headless-inert; DLSS has no TPU
+        # equivalent and is pinned off.
+        self.autofocus_target = np.zeros(3, np.float32)
+        self.floor_enable = False
+        self.visualize_unit_cube = False
+        self.parallax_shift = np.zeros(3, np.float32)   # ref: testbed.h:892
+        self.max_level_rand_training = False
+        self.visualized_dimension = -1
+        self.shall_train_encoding = True
+        self.shall_train_network = True
+        self.render_camera_model = 0                    # Perspective
+        self.camera_spherical_quadrilateral = None
+        self.camera_quadrilateral_hexahedron = None
+        self.loop_animation = False
+        self.display_gui = False
+        self.dlss = False
+        self.dlss_sharpening = 0.0
+        self.keyboard_event_callback = None
+        self.render_aabb_to_local = np.eye(3, dtype=np.float32)
+        self.aabb = BoundingBox()              # refreshed from the trainer
+        self.raw_aabb = BoundingBox()
+        self.bounding_radius = 1.0
+        # ref: m_relative_focal_length (resolution-relative; fov/fov_xy
+        # properties convert, testbed.cu:2153-2167)
+        self.relative_focal_length = np.ones(2, np.float32)
+        self._training_view = 0
+
         # per-mode namespaces (populated on load)
         self.nerf = SimpleNamespace(
             training=SimpleNamespace(
@@ -172,8 +201,13 @@ class Testbed:
             from ngp_tpu.data.nerf_loader import load_nerf
             from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
             t0 = self.nerf.training
-            ds = load_nerf(path, scale=t0.world_scale,
-                           offset=t0.world_offset)
+            if path is None and t0.dataset is not None:
+                # in-memory dataset (create_empty_nerf_dataset + set_image
+                # — the Blender plugin flow, ref: python_api.cu:545)
+                ds = t0.dataset
+            else:
+                ds = load_nerf(path, scale=t0.world_scale,
+                               offset=t0.world_offset)
             t = self.nerf.training
             tcfg = NerfTrainerConfig(
                 target_batch_size=self.training_batch_size,
@@ -221,6 +255,14 @@ class Testbed:
         else:
             raise ValueError(f"unsupported mode {mode}")
         self._renderer_cache = {}
+        tr = self.trainer
+        if hasattr(tr, "aabb_min"):
+            mn = np.asarray(tr.aabb_min, np.float32) * np.ones(3, np.float32)
+            mx = mn + np.asarray(tr.aabb_size, np.float32)
+            self.aabb = BoundingBox(mn, mx)
+            self.raw_aabb = BoundingBox(mn, mx)
+            self.bounding_radius = float(np.linalg.norm(self.aabb.diag())
+                                         / 2.0)
 
     # -- training loop ----------------------------------------------------
 
@@ -228,12 +270,17 @@ class Testbed:
         """One iteration of the train loop (ref: Testbed::frame,
         src/testbed.cu:2044; headless → no render unless asked)."""
         t0 = time.time()
-        if self.shall_train and self.trainer is not None:
+        can_lazy_build = (self.network_config
+                          and self.nerf.training.dataset is not None)
+        if self.shall_train and (self.trainer is not None or can_lazy_build):
             self.train(1)
         self._frame_ms.update((time.time() - t0) * 1e3)
         return True
 
     def train(self, n_steps: int = 1) -> float:
+        if self.trainer is None and self.network_config and \
+                self.nerf.training.dataset is not None:
+            self._build_trainer()
         loss = self.trainer.train(n_steps)
         self._loss_ema.update(loss)
         self._loss_graph.append(loss)
@@ -265,12 +312,137 @@ class Testbed:
     def set_camera_to_training_view(self, i: int):
         ds = self.nerf.training.dataset
         if ds is not None:
+            i = int(i) % ds.n_images
+            self._training_view = i
             self.camera_matrix = ds.xforms[i]
             self._view_focal = ds.focal[i]
             self._view_res = ds.resolution[i]
+            self.relative_focal_length = (
+                np.asarray(ds.focal[i], np.float32) /
+                float(ds.resolution[i][self.fov_axis]))
 
     def first_training_view(self):
         self.set_camera_to_training_view(0)
+
+    def last_training_view(self):
+        ds = self.nerf.training.dataset
+        if ds is not None:
+            self.set_camera_to_training_view(ds.n_images - 1)
+
+    def previous_training_view(self):
+        self.set_camera_to_training_view(self._training_view - 1)
+
+    def next_training_view(self):
+        self.set_camera_to_training_view(self._training_view + 1)
+
+    # -- camera helpers (ref: testbed.cu:215-247, 2153-2167) --------------
+
+    @property
+    def dof(self):
+        return self.aperture_size
+
+    @dof.setter
+    def dof(self, v):
+        self.aperture_size = float(v)
+
+    @property
+    def fov(self) -> float:
+        return float(np.degrees(2.0 * np.arctan(
+            0.5 / self.relative_focal_length[self.fov_axis])))
+
+    @fov.setter
+    def fov(self, val: float):
+        self.relative_focal_length = np.full(
+            2, 0.5 / np.tan(np.radians(val) / 2.0), np.float32)
+
+    @property
+    def fov_xy(self):
+        return np.degrees(2.0 * np.arctan(0.5 / self.relative_focal_length))
+
+    @fov_xy.setter
+    def fov_xy(self, val):
+        v = np.radians(np.asarray(val, np.float32))
+        self.relative_focal_length = (0.5 / np.tan(v / 2.0)).astype(
+            np.float32)
+
+    def view_pos(self):
+        return np.asarray(self.camera_matrix, np.float32)[:3, 3].copy()
+
+    @property
+    def view_dir(self):
+        return np.asarray(self.camera_matrix, np.float32)[:3, 2].copy()
+
+    @view_dir.setter
+    def view_dir(self, d):
+        old = self.look_at
+        d = np.asarray(d, np.float32)
+        d = d / max(float(np.linalg.norm(d)), 1e-12)
+        right = np.cross(d, self.up_dir)
+        right = right / max(float(np.linalg.norm(right)), 1e-12)
+        down = np.cross(d, right)
+        down = down / max(float(np.linalg.norm(down)), 1e-12)
+        m = np.array(self.camera_matrix, np.float32)
+        m[:3, 0], m[:3, 1], m[:3, 2] = right, down, d
+        self.camera_matrix = m
+        self.look_at = old
+
+    @property
+    def look_at(self):
+        return self.view_pos() + self.view_dir * self.scale
+
+    @look_at.setter
+    def look_at(self, pos):
+        m = np.array(self.camera_matrix, np.float32)
+        m[:3, 3] += np.asarray(pos, np.float32) - self.look_at
+        self.camera_matrix = m
+
+    # -- crop box (ref: testbed.cu:395-449) --------------------------------
+
+    def _crop_aabb(self) -> BoundingBox:
+        if self.render_aabb is None:
+            return BoundingBox(self.aabb.min, self.aabb.max)
+        return BoundingBox(self.render_aabb.min, self.render_aabb.max)
+
+    def crop_box(self, nerf_space: bool = True) -> np.ndarray:
+        box = self._crop_aabb()
+        to_local = np.asarray(self.render_aabb_to_local, np.float32)
+        cen = to_local.T @ box.center()
+        radius = box.diag() * 0.5
+        rv = np.empty((3, 4), np.float32)
+        rv[:, 0] = to_local[0] * radius[0]
+        rv[:, 1] = to_local[1] * radius[1]
+        rv[:, 2] = to_local[2] * radius[2]
+        rv[:, 3] = cen
+        if nerf_space:
+            from ngp_tpu.data.nerf_loader import ngp_matrix_to_nerf
+            ds = self.nerf.training.dataset
+            scale = ds.scale if ds is not None else 1.0
+            offset = (np.asarray(ds.offset) if ds is not None
+                      else np.zeros(3))
+            rv = ngp_matrix_to_nerf(rv, scale, offset, scale_columns=True)
+        return rv
+
+    def set_crop_box(self, matrix, nerf_space: bool = True):
+        m = np.asarray(matrix, np.float32)[:3, :4]
+        if nerf_space:
+            from ngp_tpu.data.nerf_loader import nerf_matrix_to_ngp
+            ds = self.nerf.training.dataset
+            scale = ds.scale if ds is not None else 1.0
+            offset = (np.asarray(ds.offset) if ds is not None
+                      else np.zeros(3))
+            m = nerf_matrix_to_ngp(m, scale, offset, scale_columns=True)
+        radius = np.linalg.norm(m[:, :3], axis=0)
+        to_local = (m[:, :3] / np.maximum(radius, 1e-12)).T
+        cen = to_local @ m[:, 3]
+        self.render_aabb_to_local = to_local
+        self.render_aabb = SimpleNamespace(min=cen - radius,
+                                           max=cen + radius)
+
+    def crop_box_corners(self, nerf_space: bool = True):
+        m = self.crop_box(nerf_space)
+        return [m[:, :3] @ np.array([(i >> k & 1) * 2 - 1.0
+                                     for k in range(3)], np.float32)
+                + m[:, 3] for i in range(8)]
 
     # -- rendering ----------------------------------------------------------
 
@@ -776,8 +948,88 @@ class Testbed:
         return sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(self.trainer.params))
 
+    def n_encoding_params(self) -> int:
+        """ref: Testbed::n_encoding_params — grid/encoding table size."""
+        import jax
+        p = self.trainer.params
+        enc = [v for k, v in p.items() if "table" in k or "encoding" in k] \
+            if isinstance(p, dict) else []
+        if not enc:
+            # fall back to the model's encoding meta when params are flat
+            meta = getattr(getattr(self.trainer, "model", None),
+                           "encoding", None)
+            n = getattr(getattr(meta, "meta", None), "n_params", None)
+            return int(n) if n else 0
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(enc))
+
+    @property
+    def params(self) -> np.ndarray:
+        """Flat float32 view of all trainable parameters (ref pyngp
+        "params" property). Order is this framework's pytree order —
+        self-consistent for get→set round trips."""
+        import jax
+        if self.trainer is None:
+            return np.zeros(0, np.float32)
+        return np.concatenate([np.asarray(x, np.float32).ravel()
+                               for x in jax.tree.leaves(self.trainer.params)])
+
+    @params.setter
+    def params(self, flat):
+        import jax
+        import jax.numpy as jnp
+        flat = np.asarray(flat, np.float32)
+        leaves, treedef = jax.tree.flatten(self.trainer.params)
+        off = 0
+        new = []
+        for x in leaves:
+            n = int(np.prod(x.shape))
+            new.append(jnp.asarray(flat[off:off + n].reshape(x.shape),
+                                   x.dtype))
+            off += n
+        if off != flat.size:
+            raise ValueError(f"param vector has {flat.size} floats, "
+                             f"model needs {off}")
+        self.trainer.params = jax.tree.unflatten(treedef, new)
+
+    def reset(self, reset_density_grid: bool = True):
+        """ref: pyngp reset → Testbed::reset_network."""
+        self.reload_network_from_json(self.network_config)
+
+    def clear_training_data(self):
+        self.nerf.training.dataset = None
+        self.trainer = None
+        self._renderer_cache = {}
+
     def reset_accumulation(self):
         pass  # progressive accumulation is per-render here
 
     def want_repl(self) -> bool:
+        return False
+
+    # -- GUI surface (headless stubs; ref: python_api.cu:550-562) ---------
+
+    def init_window(self, width: int, height: int, hidden: bool = False,
+                    second_window: bool = False):
+        raise RuntimeError("ngp_tpu is headless: no GLFW/ImGui window. "
+                           "Use render()/screenshot() instead.")
+
+    def destroy_window(self):
+        pass
+
+    def is_key_pressed(self, key) -> bool:
+        return False
+
+    def is_key_down(self, key) -> bool:
+        return False
+
+    def is_alt_down(self) -> bool:
+        return False
+
+    def is_ctrl_down(self) -> bool:
+        return False
+
+    def is_shift_down(self) -> bool:
+        return False
+
+    def is_super_down(self) -> bool:
         return False

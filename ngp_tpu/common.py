@@ -162,3 +162,86 @@ class EmaMeter:
 
 def next_multiple(value: int, multiple: int) -> int:
     return ((value + multiple - 1) // multiple) * multiple
+
+
+def fresh_zeros(shape, dtype=np.float32):
+    """Zeros in a guaranteed-DISTINCT device buffer. Eager ``jnp.zeros``
+    of equal shape/dtype can return one shared constant buffer, and a
+    jitted step that donates two such leaves fails with "attempt to
+    donate the same buffer twice" — device_put of a distinct host array
+    per call sidesteps the constant cache."""
+    import jax
+    return jax.device_put(np.zeros(shape, dtype))
+
+
+def fresh_zeros_like(x):
+    import numpy as _np
+    return fresh_zeros(_np.shape(x), x.dtype)
+
+
+class BoundingBox:
+    """Axis-aligned box mirroring the reference's pybind BoundingBox
+    surface (ref: src/python_api.cu:409-427)."""
+
+    def __init__(self, min=(0, 0, 0), max=(1, 1, 1)):
+        self.min = np.asarray(min, np.float32).copy()
+        self.max = np.asarray(max, np.float32).copy()
+
+    def __repr__(self):
+        return f"BoundingBox(min={self.min.tolist()}, max={self.max.tolist()})"
+
+    def center(self):
+        return (self.min + self.max) / 2
+
+    def diag(self):
+        return self.max - self.min
+
+    def contains(self, p):
+        p = np.asarray(p)
+        return bool(np.all(p >= self.min) and np.all(p <= self.max))
+
+    def enlarge(self, other):
+        if isinstance(other, BoundingBox):
+            self.min = np.minimum(self.min, other.min)
+            self.max = np.maximum(self.max, other.max)
+        else:
+            self.min = np.minimum(self.min, other)
+            self.max = np.maximum(self.max, other)
+
+    def inflate(self, amount):
+        self.min -= amount
+        self.max += amount
+
+    def intersection(self, other):
+        return BoundingBox(np.maximum(self.min, other.min),
+                           np.minimum(self.max, other.max))
+
+    def intersects(self, other):
+        return bool(np.all(self.max >= other.min) and
+                    np.all(self.min <= other.max))
+
+    def relative_pos(self, p):
+        return (np.asarray(p) - self.min) / np.maximum(self.diag(), 1e-12)
+
+    def distance(self, p):
+        return float(math.sqrt(self.distance_sq(p)))
+
+    def distance_sq(self, p):
+        d = np.maximum(np.maximum(self.min - p, 0), p - self.max)
+        return float(np.dot(d, d))
+
+    def signed_distance(self, p):
+        d = self.distance(p)
+        return d if d > 0 else -float(
+            np.min(np.minimum(p - self.min, self.max - p)))
+
+    def ray_intersect(self, o, d):
+        from ngp_tpu.rays.camera import ray_aabb_intersect
+        tmin, tmax = ray_aabb_intersect(
+            jnp.asarray(o, jnp.float32)[None], jnp.asarray(d, jnp.float32)[None],
+            jnp.asarray(self.min), jnp.asarray(self.max))
+        return float(tmin[0]), float(tmax[0])
+
+    def get_vertices(self):
+        return np.asarray([[self.max[k] if (c >> k) & 1 else self.min[k]
+                            for k in range(3)] for c in range(8)], np.float32)

@@ -63,11 +63,14 @@ class NerfDataset:
 
 
 def nerf_matrix_to_ngp(m: np.ndarray, scale: float, offset: np.ndarray,
-                       from_mitsuba: bool = False) -> np.ndarray:
-    """ref: nerf_loader.h:112-132."""
+                       from_mitsuba: bool = False,
+                       scale_columns: bool = False) -> np.ndarray:
+    """ref: nerf_loader.h:112-132 (``scale_columns`` is the crop-box
+    variant that scales the rotation columns too)."""
     r = np.array(m[:3, :4], np.float32)
-    r[:, 1] *= -1
-    r[:, 2] *= -1
+    r[:, 0] *= scale if scale_columns else 1.0
+    r[:, 1] *= -scale if scale_columns else -1.0
+    r[:, 2] *= -scale if scale_columns else -1.0
     r[:, 3] = r[:, 3] * scale + offset
     if from_mitsuba:
         r[:, 0] *= -1
@@ -78,15 +81,17 @@ def nerf_matrix_to_ngp(m: np.ndarray, scale: float, offset: np.ndarray,
 
 
 def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray,
-                       from_mitsuba: bool = False) -> np.ndarray:
+                       from_mitsuba: bool = False,
+                       scale_columns: bool = False) -> np.ndarray:
     r = np.array(m[:3, :4], np.float32)
     if from_mitsuba:
         r[:, 0] *= -1
         r[:, 2] *= -1
     else:
         r = r[[2, 0, 1], :]
-    r[:, 1] *= -1
-    r[:, 2] *= -1
+    r[:, 0] *= 1.0 / scale if scale_columns else 1.0
+    r[:, 1] *= -1.0 / scale if scale_columns else -1.0
+    r[:, 2] *= -1.0 / scale if scale_columns else -1.0
     r[:, 3] = (r[:, 3] - offset) / scale
     return r
 

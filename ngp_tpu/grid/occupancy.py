@@ -163,13 +163,16 @@ GC = 16  # coarse mask side (128 / 8)
 
 
 def init_grid(max_cascade: int) -> OccupancyGrid:
+    # fresh_zeros: the grid is donated through the train chunk; eager
+    # jnp.zeros of equal shape/dtype may share one constant buffer
+    from ngp_tpu.common import fresh_zeros
     n = GRID_VOLUME * (max_cascade + 1)
     return OccupancyGrid(
-        density=jnp.zeros((n,), jnp.float32),
-        bitfield=jnp.zeros((NERF_CASCADES * GRID_VOLUME // 8,), jnp.uint8),
-        mean=jnp.zeros((), jnp.float32),
-        ema_step=jnp.zeros((), jnp.int32),
-        coarse=jnp.zeros((NERF_CASCADES * GC ** 3,), jnp.uint8),
+        density=fresh_zeros((n,), jnp.float32),
+        bitfield=fresh_zeros((NERF_CASCADES * GRID_VOLUME // 8,), jnp.uint8),
+        mean=fresh_zeros((), jnp.float32),
+        ema_step=fresh_zeros((), jnp.int32),
+        coarse=fresh_zeros((NERF_CASCADES * GC ** 3,), jnp.uint8),
     )
 
 

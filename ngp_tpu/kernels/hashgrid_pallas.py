@@ -26,7 +26,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ngp_tpu.kernels.blocked_grid import (LANES, BlockedGridMeta, _block_geom,
                                           lookup_geometry)
 
-DEFAULT_TILE = 512
+# round-4 chip sweep (scalar-output timing, 2^18 samples, 16 levels,
+# 2^13 rows): tile 512 → 2048 cuts fwd+bwd 167 → 155 ms (bf16) by
+# amortizing the (R,128) dtable accumulation; fwd is tile-insensitive.
+DEFAULT_TILE = 2048
+
+
+def _eff_tile(n: int, tile: int) -> int:
+    """Clamp the sample tile to the padded problem size so small render
+    buckets don't pay a 2048-wide pipeline."""
+    p = 1 << max(int(n - 1).bit_length(), 9)
+    return min(tile, p)
 
 # The bwd kernel's scoped VMEM footprint ((T,R) one-hot + iota + dtable
 # accumulator) exceeds the 16 MB default limit at tile 512 / 2^11 rows;
@@ -211,6 +221,7 @@ def blocked_grid_encode(table, pos, meta: BlockedGridMeta,
 
 
 def _encode_fwd_impl(table, pos, meta, tile):
+    tile = _eff_tile(pos.shape[0], tile)
     L, R, D = meta.n_levels, meta.rows, meta.n_dims
     ri, fr, N, Np = _geometry(meta, pos, tile)
     n_tiles = Np // tile
@@ -245,6 +256,7 @@ def _encode_fwd(table, pos, meta, tile):
 
 def _encode_bwd(meta, tile, residuals, g):
     table, pos_stub, ri, fr = residuals
+    tile = _eff_tile(g.shape[0], tile)
     L, R, D = meta.n_levels, meta.rows, meta.n_dims
     N, Np = g.shape[0], ri.shape[2]
     n_tiles = Np // tile
@@ -386,6 +398,7 @@ def blocked_grid_encode_int8(table, pos, meta: BlockedGridMeta,
 
 
 def _encode_fwd_impl_i8(table, pos, meta, tile):
+    tile = _eff_tile(pos.shape[0], tile)
     L, R, D = meta.n_levels, meta.rows, meta.n_dims
     ri, fr, N, Np = _geometry(meta, pos, tile)
     n_tiles = Np // tile
@@ -426,6 +439,7 @@ def _encode_fwd_i8(table, pos, meta, tile):
 
 def _encode_bwd_i8(meta, tile, residuals, g):
     table, pos_stub, ri, fr = residuals
+    tile = _eff_tile(g.shape[0], tile)
     L, R, D = meta.n_levels, meta.rows, meta.n_dims
     N, Np = g.shape[0], ri.shape[2]
     n_tiles = Np // tile
@@ -475,3 +489,18 @@ def _encode_bwd_i8(meta, tile, residuals, g):
 
 
 blocked_grid_encode_int8.defvjp(_encode_fwd_i8, _encode_bwd_i8)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def blocked_grid_encode_i8fwd(table, pos, meta: BlockedGridMeta,
+                              tile: int = DEFAULT_TILE):
+    """Mixed-precision encode: int8 forward (selection matmul at the
+    MXU's int8 rate — chip sweep: 66 → 48 ms fwd at 2^18×16×2^13) with
+    the EXACT bf16/f32 backward, so gradients carry no quantization
+    noise. The only approximation is the per-level table quantization in
+    the forward activations (quality-ablated in bench_fox)."""
+    out, _ = _encode_fwd_impl_i8(table, pos, meta, tile)
+    return out
+
+
+blocked_grid_encode_i8fwd.defvjp(_encode_fwd_i8, _encode_bwd)

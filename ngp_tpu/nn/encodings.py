@@ -188,13 +188,20 @@ class BlockedGridEncoding:
         import os
 
         from ngp_tpu.kernels.blocked_grid import encode_reference
-        from ngp_tpu.kernels.hashgrid_pallas import (blocked_grid_encode,
-                                                     blocked_grid_encode_int8)
+        from ngp_tpu.kernels.hashgrid_pallas import (
+            blocked_grid_encode, blocked_grid_encode_i8fwd,
+            blocked_grid_encode_int8)
 
         platform = jax.devices()[0].platform
         if platform in ("tpu", "axon"):
-            if os.environ.get("NGP_TPU_ENCODE_INT8"):
+            # NGP_TPU_ENCODE_INT8: "full" quantizes fwd table AND bwd
+            # cotangents; any other non-empty value = int8 fwd + exact
+            # bf16 bwd (chip sweep: fwd 66→48 ms, no gradient noise)
+            mode = os.environ.get("NGP_TPU_ENCODE_INT8", "")
+            if mode == "full":
                 out = blocked_grid_encode_int8(params, x, self.meta)
+            elif mode:
+                out = blocked_grid_encode_i8fwd(params, x, self.meta)
             else:
                 out = blocked_grid_encode(params, x, self.meta)
         else:

@@ -79,10 +79,17 @@ class AdamConfig:
 
 
 def init_state(params: Any, cfg: AdamConfig) -> AdamState:
-    zeros = jax.tree.map(jnp.zeros_like, params)
-    ema = jax.tree.map(jnp.array, params) if cfg.ema_decay > 0 else params
-    return AdamState(step=jnp.zeros((), jnp.int32), mu=zeros,
-                     nu=jax.tree.map(jnp.zeros_like, params), ema_params=ema)
+    # fresh_zeros_like: mu and nu of one param leaf have equal
+    # shape/dtype, and the whole state is donated by the train chunk —
+    # shared constant buffers would be donated twice (common.fresh_zeros)
+    from ngp_tpu.common import fresh_zeros, fresh_zeros_like
+    # always a COPY: with ema_decay == 0 aliasing ema_params to params
+    # donates the same buffer twice in the donating train chunk
+    ema = jax.tree.map(jnp.array, params)
+    return AdamState(step=fresh_zeros((), jnp.int32),
+                     mu=jax.tree.map(fresh_zeros_like, params),
+                     nu=jax.tree.map(fresh_zeros_like, params),
+                     ema_params=ema)
 
 
 def lr_at_step(cfg: AdamConfig, step: jax.Array) -> jax.Array:

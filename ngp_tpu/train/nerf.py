@@ -228,10 +228,12 @@ class NerfTrainer:
         # steps — here it is one more jitted param group).
         I = dataset.n_images
         E = dataset.n_extra_learnable_dims
+        from ngp_tpu.common import fresh_zeros as _fresh_zeros
+
         self.cam_params = {
-            "rot": jnp.zeros((I, 3)), "trans": jnp.zeros((I, 3)),
-            "exposure": jnp.zeros((I, 3)),
-            "focal_delta": jnp.zeros((2,)),
+            "rot": _fresh_zeros((I, 3)), "trans": _fresh_zeros((I, 3)),
+            "exposure": _fresh_zeros((I, 3)),
+            "focal_delta": _fresh_zeros((2,)),
             "extra_dims": 1e-4 * jax.random.normal(
                 jax.random.PRNGKey(seed + 1), (I, max(E, 1))),
         }
@@ -244,11 +246,13 @@ class NerfTrainer:
             self.cam_params["envmap"] = self.envmap.init_params(None)
         if self.tcfg.optimize_distortion:
             self.cam_params["distortion"] = self.distortion.init_params(None)
-        self.cam_m = jax.tree.map(jnp.zeros_like, self.cam_params)
-        self.cam_v = jax.tree.map(jnp.zeros_like, self.cam_params)
+        self.cam_m = jax.tree.map(
+            lambda x: _fresh_zeros(x.shape, x.dtype), self.cam_params)
+        self.cam_v = jax.tree.map(
+            lambda x: _fresh_zeros(x.shape, x.dtype), self.cam_params)
         # error map for importance sampling (ref: §2.2 error-map CDFs)
         em = self.tcfg.error_map_res
-        self.error_map = jnp.zeros((I, em, em))
+        self.error_map = _fresh_zeros((I, em, em))
         # sharpness grid (ref: testbed_nerf.cu:1476-1481 deposit + :557
         # decay): per-cell max of the depositing image's LOCAL sharpness;
         # error-map deposits are scaled by sharp/grid_sharp so blurry
@@ -261,10 +265,10 @@ class NerfTrainer:
         if self._use_sharpness:
             self.data["sharpness_maps"] = jnp.asarray(
                 _sharpness_maps(dataset), jnp.float32)
-            self.sharpness_grid = jnp.zeros(
+            self.sharpness_grid = _fresh_zeros(
                 (occ.GRID_VOLUME * (self.max_cascade + 1),), jnp.float32)
         else:
-            self.sharpness_grid = jnp.zeros((1,), jnp.float32)
+            self.sharpness_grid = _fresh_zeros((1,), jnp.float32)
 
         self.training_step = 0
         self.loss_scalar_ema = 0.0

@@ -52,6 +52,68 @@ def mode_from_scene(path) -> Optional[TestbedMode]:
     return None
 
 
+class _AliasNS(SimpleNamespace):
+    """Namespace with reference-parity attribute aliases: the pybind
+    surface binds several legacy names onto one member (e.g.
+    render_with_camera_distortion → render_with_lens_distortion,
+    python_api.cu:749-757)."""
+
+    _aliases: dict = {}
+
+    def __getattr__(self, name):
+        real = type(self)._aliases.get(name)
+        if real is not None:
+            return getattr(self, real)
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, type(self)._aliases.get(name, name), value)
+
+
+class _NerfNS(_AliasNS):
+    _aliases = {
+        "render_with_camera_distortion": "render_with_lens_distortion",
+        "render_distortion": "render_lens",
+        "rendering_min_transmittance": "render_min_transmittance",
+    }
+
+
+class _NerfTrainingNS(SimpleNamespace):
+    """testbed.nerf.training: knobs + the dataset-mutation methods the
+    reference binds here (python_api.cu:804-853). Methods delegate to the
+    owning Testbed (which also re-exports them at top level for older
+    pyngp scripts)."""
+
+    def __init__(self, owner, **kw):
+        super().__init__(**kw)
+        object.__setattr__(self, "_owner", owner)
+
+    @property
+    def transforms(self):
+        ds = self.dataset
+        return ds.xforms if ds is not None else None
+
+    def set_camera_intrinsics(self, frame_idx: int, fx: float = 0.0,
+                              fy: float = 0.0, cx: float = -0.5,
+                              cy: float = -0.5, k1: float = 0.0,
+                              k2: float = 0.0, p1: float = 0.0,
+                              p2: float = 0.0):
+        self._owner.set_camera_intrinsics(fx, fy, cx, cy, k1, k2, p1, p2,
+                                          image_idx=frame_idx)
+
+    def set_camera_extrinsics(self, frame_idx: int, camera_to_world,
+                              convert_to_ngp: bool = True):
+        self._owner.set_camera_extrinsics(frame_idx, camera_to_world,
+                                          convert_to_ngp)
+
+    def get_camera_extrinsics(self, frame_idx: int):
+        return self._owner.get_camera_extrinsics(frame_idx)
+
+    def set_image(self, frame_idx: int, img, depth_img=None,
+                  depth_scale: float = 1.0):
+        self._owner.set_image(frame_idx, img, depth_img, depth_scale)
+
+
 class Testbed:
     """Drop-in orchestrator: Testbed(mode) → load_training_data → frame()."""
 
@@ -126,10 +188,13 @@ class Testbed:
         self.relative_focal_length = np.ones(2, np.float32)
         self._training_view = 0
 
-        # per-mode namespaces (populated on load)
-        self.nerf = SimpleNamespace(
-            training=SimpleNamespace(
+        # per-mode namespaces (populated on load); attribute/alias sets
+        # mirror the reference pybind surface (python_api.cu:744-888)
+        self.nerf = _NerfNS(
+            training=_NerfTrainingNS(
+                self,
                 random_bg_color=True, linear_colors=False,
+                loss_type=2, depth_loss_type=0,  # LossType.Huber
                 snap_to_pixel_centers=False, optimize_extrinsics=False,
                 optimize_exposure=False, optimize_extra_dims=False,
                 optimize_distortion=False, optimize_focal_length=False,
@@ -137,17 +202,26 @@ class Testbed:
                 density_grid_decay=0.95, depth_supervision_lambda=0.0,
                 sample_image_proportional_to_error=False,
                 sample_focal_plane_proportional_to_error=False,
+                include_sharpness_in_error=False,
+                extrinsic_l2_reg=1e-4, extrinsic_learning_rate=1e-3,
+                intrinsic_l2_reg=1e-4, exposure_l2_reg=0.0,
                 render_error_overlay=False,
                 error_overlay_brightness=0.125,
                 n_images_for_training=0, dataset=None,
                 world_scale=None, world_offset=None),
+            rgb_activation=3, density_activation=2,  # Sigmoid / Exponent
+            sharpen=0.0, visualize_cameras=False,
             render_with_lens_distortion=False,
+            render_lens=None,
             render_min_transmittance=1e-4,
             glow_mode=0, glow_y_cutoff=0.0,
             cone_angle_constant=1.0 / 256.0)
         self.sdf = SimpleNamespace(
+            training=SimpleNamespace(generate_sdf_data_online=True,
+                                     surface_offset_scale=1.0),
             mesh_sdf_mode=1, mesh_scale=1.0, analytic_normals=False,
             shadow_sharpness=2048.0, fd_normals_epsilon=1e-3,
+            use_triangle_octree=False, brick_level=10, brick_res=0,
             zero_offset=0.0, distance_scale=1.0,
             calculate_iou_online=False, groundtruth_mode=0,
             brdf=SimpleNamespace(metallic=0.0, subsurface=0.0, specular=1.0,
@@ -155,8 +229,10 @@ class Testbed:
                                  clearcoat_gloss=0.0,
                                  basecolor=np.array([0.8, 0.8, 0.8]),
                                  ambientcolor=np.zeros(3)))
-        self.image = SimpleNamespace(random_mode="stratified",
-                                     pos=np.array([0.5, 0.5]))
+        self.image = SimpleNamespace(
+            training=SimpleNamespace(snap_to_pixel_centers=True,
+                                     linear_colors=False),
+            random_mode="stratified", pos=np.array([0.5, 0.5]))
 
         self._frame_ms = EmaMeter(0.5)
         self._loss_graph = []          # ref: 256-point loss graph

@@ -87,15 +87,41 @@ def test_full_reference_surface_coverage():
     src_path = Path("/root/reference/src/python_api.cu")
     if not src_path.exists():
         pytest.skip("reference source unavailable")
-    src = src_path.read_text()
-    m = re.search(r"py::class_<Testbed>(.*?)py::class_<Testbed::Nerf>",
-                  src, re.S)
-    names = sorted(set(re.findall(
-        r'\.def(?:_readwrite|_readonly|_property(?:_readonly)?)?'
-        r'\("([a-zA-Z0-9_]+)"', m.group(1))))
+    # strip // comments (the reference comments out a couple of bindings)
+    src = "\n".join(l.split("//", 1)[0]
+                    for l in src_path.read_text().splitlines())
+    def bound_names(section):
+        return sorted(set(re.findall(
+            r'\.def(?:_readwrite|_readonly|_property(?:_readonly)?)?'
+            r'\("([a-zA-Z0-9_]+)"', section)))
+
+    def section(start, end):
+        return re.search(re.escape(start) + r"(.*?)" + re.escape(end),
+                         src, re.S).group(1)
+
     import ngp_tpu.api.pyngp_shim as ngp
     tb = ngp.Testbed(ngp.TestbedMode.Nerf)
-    missing = [n for n in names if not hasattr(tb, n)]
+    targets = [
+        (tb, section("py::class_<Testbed>", "py::class_<Testbed::Nerf>")),
+        (tb.nerf, section("py::class_<Testbed::Nerf> nerf",
+                          "py::class_<BRDFParams>")),
+        (tb.sdf.brdf, section("py::class_<BRDFParams>",
+                              "py::class_<TrainingImageMetadata>")),
+        (tb.nerf.training, section("py::class_<Testbed::Nerf::Training>",
+                                   "py::class_<Testbed::Sdf> sdf")),
+        (tb.sdf, section("py::class_<Testbed::Sdf> sdf",
+                         "py::class_<Testbed::Sdf::Training>")),
+        (tb.sdf.training, section("py::class_<Testbed::Sdf::Training>",
+                                  "py::class_<Testbed::Image> image")),
+        (tb.image, section("py::class_<Testbed::Image> image",
+                           "py::class_<Testbed::Image::Training>")),
+        (tb.image.training, section("py::class_<Testbed::Image::Training>",
+                                    "NGP_NAMESPACE_END")),
+    ]
+    missing = []
+    for obj, sec in targets:
+        missing += [f"{type(obj).__name__}.{n}" for n in bound_names(sec)
+                    if not hasattr(obj, n)]
     assert not missing, missing
 
 

@@ -98,6 +98,12 @@ class RenderOptions:
     # the exotic render modes (Slice/EncodingVis/Normals/…).
     wave: bool = False
     wave_cap: int = 64            # per-ray samples per segment (decimated)
+    # "bulk": ONE count dispatch + ONE host sync per chunk — per-segment
+    # stream buckets are sized from the transmittance-free upper bound
+    # Σ_rays min(live_r, cap). "exact": one count+sync per SEGMENT with
+    # the true post-early-out total (smallest buckets, 8× the tunnel
+    # roundtrips — round-4 chip profile: the syncs dominated the frame).
+    wave_sync: str = "bulk"
 
 
 class NerfRenderer:
@@ -432,10 +438,10 @@ class NerfRenderer:
         return run
 
     def _wave_count_fn(self, n_rays, si):
-        """One cheap dispatch per segment: slice the lattice, apply the
-        transmittance early-out + per-ray decimation, and COUNT the live
+        """wave_sync="exact": one dispatch per segment — apply the
+        transmittance early-out + per-ray decimation and COUNT the live
         samples. The count crosses to the host and picks the bucket the
-        fused body compiles at."""
+        fused body compiles at (one tunnel roundtrip per segment)."""
         cache = self._wave_cache()
         key_ = ("count", n_rays, si)
         if key_ in cache:
@@ -449,20 +455,47 @@ class NerfRenderer:
         def run(t, dt, emit, logT):
             alive = jnp.exp(-logT) > opts.min_transmittance
             emit_s = emit[:, sl] & alive[:, None]
-            emit_m, dt_m = merge_excess_samples(emit_s, dt[:, sl],
-                                                opts.wave_cap)
-            return t[:, sl], emit_m, dt_m, emit_m.sum()
+            emit_m, _ = merge_excess_samples(emit_s, dt[:, sl],
+                                             opts.wave_cap)
+            return emit_m.sum()
+
+        cache[key_] = run
+        return run
+
+    def _wave_countall_fn(self, n_rays):
+        """wave_sync="bulk": ONE dispatch + ONE host sync per chunk. Per
+        segment, the bound Σ_rays min(live_r, cap) needs no transmittance
+        state, so every segment's bucket is known up front and the bodies
+        chain on-device with no further roundtrips. (The bound dominates
+        the exact post-early-out total: per ray, the filtered+merged
+        count is ≤ min(live_r, cap).)"""
+        cache = self._wave_cache()
+        key_ = ("countall", n_rays)
+        if key_ in cache:
+            return cache[key_]
+        opts = self.opts
+        nseg = max(opts.march_segments, 1)
+        seg_len = opts.march_steps // nseg
+
+        @jax.jit
+        def run(emit):
+            c = emit.reshape(n_rays, nseg, seg_len).sum(
+                axis=-1, dtype=jnp.int32)                     # (R, nseg)
+            return jnp.minimum(c, opts.wave_cap).sum(axis=0)  # (nseg,)
 
         cache[key_] = run
         return run
 
     def _wave_body_fn(self, n_rays, S):
-        """Fused compact→network-eval→composite for one segment at a
-        host-chosen static stream capacity S (power-of-2 bucket ≥ the
-        segment's measured live total — round-4 profile: the round-1 wave
-        path ran every stream op at the n_rays·wave_cap worst case, which
-        made compaction+composite 8× the network cost). Everything here
-        scales with S, and XLA fuses the stream math into the MLP."""
+        """Fused filter→decimate→compact→network-eval→composite for one
+        segment at a host-chosen static stream capacity S (power-of-2
+        bucket ≥ the segment's live total — round-4 profile: the round-1
+        wave path ran every stream op at the n_rays·wave_cap worst case,
+        which made compaction+composite 8× the network cost). The
+        transmittance early-out + per-ray merge live HERE so the bulk
+        count can stay transmittance-free; results are bit-identical
+        across wave_sync modes. Everything scales with S, and XLA fuses
+        the stream math into the MLP."""
         cache = self._wave_cache()
         key_ = ("body", n_rays, S)
         if key_ in cache:
@@ -472,8 +505,11 @@ class NerfRenderer:
         seg_len = opts.march_steps // nseg
 
         @jax.jit
-        def run(params, o, d, t_seg, emit_m, dt_m, logT, rgb_acc,
+        def run(params, o, d, t_seg, emit_seg, dt_seg, logT, rgb_acc,
                 depth_acc, cost_acc):
+            alive = jnp.exp(-logT) > opts.min_transmittance
+            emit_m, dt_m = merge_excess_samples(
+                emit_seg & alive[:, None], dt_seg, opts.wave_cap)
             s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = \
                 compact_samples(t_seg, dt_m, emit_m, n_rays, S)
             rid = jnp.clip(s_ray, 0, n_rays - 1)
@@ -509,14 +545,16 @@ class NerfRenderer:
     def _render_chunk_wave(self, params, bitfield, xf_s, xf_e, rsh, bg,
                            key, pix0, jitter_on, fx, fy, n_rays, W, H,
                            motion):
-        """Wave-rendered chunk (host-orchestrated): march once, then per
-        segment count the live samples, pick the smallest power-of-2
-        stream bucket that holds them, and run the fused
-        compact+eval+composite body at that size. Matches the static
-        path's math bit-for-bit at equal caps (test_wave_renderer)."""
+        """Wave-rendered chunk (host-orchestrated): march once, size each
+        segment's power-of-2 stream bucket from a live-sample count, and
+        run the fused body per segment. Matches the static path's math
+        bit-for-bit at equal caps (test_wave_renderer). wave_sync picks
+        the count strategy: "bulk" = one sync per chunk on a
+        transmittance-free bound; "exact" = one sync per segment."""
         opts = self.opts
         mode = opts.render_mode
         nseg = max(opts.march_segments, 1)
+        seg_len = opts.march_steps // nseg
         march = self._wave_march_fn(n_rays, W, H, motion)
         o, d, t, dt, emit, bg_ray = march(
             bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on, fx, fy)
@@ -526,18 +564,24 @@ class NerfRenderer:
         cost_acc = jnp.zeros((n_rays,))
         grand_total = 0
         S_max = n_rays * opts.wave_cap
+        bulk = opts.wave_sync == "bulk"
+        if bulk:
+            bounds = np.asarray(self._wave_countall_fn(n_rays)(emit))
         for si in range(nseg):
-            t_seg, emit_m, dt_m, total_dev = \
-                self._wave_count_fn(n_rays, si)(t, dt, emit, logT)
-            total = int(np.asarray(total_dev))
+            if bulk:
+                total = int(bounds[si])
+            else:
+                total = int(np.asarray(self._wave_count_fn(n_rays, si)(
+                    t, dt, emit, logT)))
             grand_total += total
             if total == 0:
                 continue
             S = min(1 << max(12, (total - 1).bit_length()), S_max)
+            sl = slice(si * seg_len, (si + 1) * seg_len)
             logT, rgb_acc, depth_acc, cost_acc = \
                 self._wave_body_fn(n_rays, S)(
-                    params, o, d, t_seg, emit_m, dt_m, logT, rgb_acc,
-                    depth_acc, cost_acc)
+                    params, o, d, t[:, sl], emit[:, sl], dt[:, sl],
+                    logT, rgb_acc, depth_acc, cost_acc)
         opacity = 1.0 - jnp.exp(-logT)
         rgb_out = rgb_acc + jnp.exp(-logT)[:, None] * bg_ray
         if mode == RenderMode.DEPTH:
@@ -547,7 +591,9 @@ class NerfRenderer:
             rgb_out = jnp.repeat(opacity[:, None], 3, axis=1)
         elif mode == RenderMode.COST:
             rgb_out = jnp.repeat(cost_acc[:, None] / 128.0, 3, axis=1)
-        return rgb_out, opacity, grand_total
+        # exact composited-sample count (bulk mode's grand_total is only
+        # the bucket bound); fetched with the chunk's pixel fetch
+        return rgb_out, opacity, cost_acc.sum()
 
     def _wave_supported(self):
         o = self.opts
@@ -574,7 +620,7 @@ class NerfRenderer:
                     jnp.float32(fy), eff_chunk, W, H, motion)
                 part += np.asarray(
                     jnp.concatenate([rgb, opac[:, None]], -1)) / n_spp
-                self.last_wave_samples += tot
+                self.last_wave_samples += int(np.asarray(tot))
             acc[c * eff_chunk:(c + 1) * eff_chunk] = part
         return acc
 

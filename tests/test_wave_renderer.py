@@ -25,8 +25,10 @@ def _setup(march_steps=256, res=16):
     return tr, ds, bits
 
 
-@pytest.mark.parametrize("mode_name", ["SHADE", "DEPTH", "AO"])
-def test_wave_matches_static(mode_name):
+@pytest.mark.parametrize("mode_name,sync", [
+    ("SHADE", "bulk"), ("DEPTH", "bulk"), ("AO", "bulk"),
+    ("SHADE", "exact")])
+def test_wave_matches_static(mode_name, sync):
     from ngp_tpu.common import RenderMode
     from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
 
@@ -37,7 +39,7 @@ def test_wave_matches_static(mode_name):
     r_static = NerfRenderer.for_trainer(tr, RenderOptions(
         samples_per_chunk_factor=32, **kw))
     r_wave = NerfRenderer.for_trainer(tr, RenderOptions(
-        wave=True, wave_cap=32, **kw))
+        wave=True, wave_cap=32, wave_sync=sync, **kw))
     img_s = r_static.render(tr.params, bits, ds.xforms[0], 12, 12,
                             focal=(14., 14.))
     img_w = r_wave.render(tr.params, bits, ds.xforms[0], 12, 12,

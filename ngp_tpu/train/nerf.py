@@ -83,6 +83,14 @@ class NerfTrainerConfig:
     n_rays: int = 4096               # adapted between steps (power-of-2)
     adapt_rays: bool = True          # False pins n_rays (one compile)
     target_batch_size: int = 1 << 18
+    # shrink the compaction capacity (the static sample-stream shape, and
+    # with it the encode/MLP cost per step) to a power-of-2 bucket of the
+    # MEASURED batch as the occupancy grid prunes — the late-training
+    # batch on real scenes underfills target_batch_size once empty space
+    # is culled, but the step still pays the full static shape. Each
+    # bucket is one extra XLA compile (amortized by the persistent
+    # cache). Off by default pending the chip quality/timing ablation.
+    adapt_capacity: bool = False
     march_steps: int = 1024          # lattice length K
     random_bg_color: bool = True
     train_in_linear_colors: bool = False
@@ -272,7 +280,8 @@ class NerfTrainer:
 
         self.training_step = 0
         self.loss_scalar_ema = 0.0
-        self._chunk_fns = {}  # (n_rays, T) → jitted scan-of-T-steps
+        self._capacity = self.tcfg.target_batch_size  # live stream bucket
+        self._chunk_fns = {}  # (n_rays, T, …, capacity) → jitted chunk
         # error-map CDF rebuild cadence grows ×1.5 after each rebuild
         # (ref: testbed_nerf.cu:3022)
         self._error_map_interval = float(
@@ -848,10 +857,21 @@ class NerfTrainer:
             # lattice memory/compute cap: n_rays · march_steps ≤ 2^24
             cap = max((1 << 24) // tc.march_steps, 256)
             self.tcfg.n_rays = int(min(new_rays, 1 << 18, cap))
+        if measured > 0 and tc.adapt_capacity and \
+                self.training_step >= 512:
+            # shrink the static stream shape to the measured demand: the
+            # bucket must hold 1.25× the measured samples AND keep the
+            # derived segment budget (cap//2) above the surviving
+            # segments (cap ≥ segs / 0.45)
+            need = max(measured * 1.25, segs * 2.25, float(1 << 15))
+            want = 1 << math.ceil(math.log2(need))
+            want = min(want, tc.target_batch_size)
+            if want != self._capacity:
+                self._capacity = int(want)
         return loss
 
     def _chunk_fn(self, n_rays: int, T: int, with_grid_update: bool = False,
-                  full_sweep: bool = False):
+                  full_sweep: bool = False, capacity: int = 0):
         """jit'd scan of T training steps — ONE dispatch per chunk. The
         per-step dispatch through the TPU tunnel costs ~400 ms of pure
         overhead (measured round 2: 250 ms/step inside a scan vs ~670
@@ -859,7 +879,7 @@ class NerfTrainer:
         (the XLA idiom: no host round trips inside the hot loop).
         ``with_grid_update`` folds the occupancy-grid maintenance into
         the SAME dispatch (round-2 left it as a separate 85 ms call)."""
-        key_ = (n_rays, T, with_grid_update, full_sweep)
+        key_ = (n_rays, T, with_grid_update, full_sweep, capacity)
         fn = self._chunk_fns.get(key_)
         if fn is not None:
             return fn
@@ -877,7 +897,8 @@ class NerfTrainer:
                 p, o, cm, m, v, em, sg, k = c
                 p, o, cm, m, v, em, sg, stats, k = self._train_step_impl(
                     p, o, cm, m, v, em, sg, err_state, grid.bitfield,
-                    grid.coarse, grid.mean, k, data, n_rays=n_rays)
+                    grid.coarse, grid.mean, k, data, n_rays=n_rays,
+                    capacity=capacity or None)
                 return (p, o, cm, m, v, em, sg, k), \
                     (stats.loss, stats.measured_samples_uncompacted,
                      stats.surviving_segments)
@@ -956,9 +977,11 @@ class NerfTrainer:
             n_rays = self.tcfg.n_rays
             # post-warmup: grid maintenance folded into the SAME dispatch
             # as the chunk (partial interleaved sweep)
+            cap = self._capacity if tc.adapt_capacity and not warmup \
+                else tc.target_batch_size
             fn = self._chunk_fn(n_rays, k_chunk,
                                 with_grid_update=at_boundary and not warmup,
-                                full_sweep=False)
+                                full_sweep=False, capacity=cap)
             (self.params, self.opt_state, self.cam_params, self.cam_m,
              self.cam_v, self.error_map, self.sharpness_grid, self.key,
              self.grid, loss_dev, measured, segs) = fn(

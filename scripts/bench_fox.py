@@ -41,6 +41,10 @@ def main():
                    help="upstream instant-ngp mapping for classic captures")
     p.add_argument("--world_offset", type=float, nargs=3,
                    default=[0.5, 0.5, 0.5])
+    p.add_argument("--adapt_capacity", action="store_true",
+                   help="shrink the static sample-stream bucket to the "
+                        "measured batch as the grid prunes (extra "
+                        "compiles, faster late steps)")
     p.add_argument("--importance", action="store_true",
                    help="error-map importance sampling (image + focal "
                         "plane CDFs; ref default-on via transforms.json)")
@@ -72,6 +76,8 @@ def main():
     if args.importance:
         tcfg.sample_image_proportional_to_error = True
         tcfg.sample_focal_plane_proportional_to_error = True
+    if args.adapt_capacity:
+        tcfg.adapt_capacity = True
     if args.lr_decay:
         opt = cfg["optimizer"]["nested"]
         opt["decay_start"] = args.lr_decay

@@ -65,3 +65,30 @@ def test_trainer_hier_step_finite():
         n_rays=256, target_batch_size=4096, march_steps=256,
         hierarchical_march=True))
     assert np.isfinite(tr.train(3))
+
+
+def test_adapt_capacity_shrinks_and_trains():
+    """adapt_capacity: the static stream bucket tracks the measured batch
+    (pow2, >= 2^15 floor, <= target) and training stays finite across the
+    shape change."""
+    import numpy as np
+    from synthetic import make_orbit_dataset
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.train.nerf import NerfTrainer, NerfTrainerConfig
+
+    cfg = load_network_config("configs/nerf/base.json")
+    cfg["encoding"]["n_levels"] = 4
+    cfg["encoding"]["log2_hashmap_size"] = 12
+    ds = make_orbit_dataset(res=16)
+    tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
+        n_rays=256, adapt_rays=False, adapt_capacity=True,
+        target_batch_size=1 << 16, march_steps=128))
+    tr.training_step = 512          # adaptation is gated past warmup
+    loss = tr.train(32)
+    assert np.isfinite(loss)
+    # tiny scene, 256 rays: the measured batch is far below 2^16 → the
+    # bucket must have shrunk to the floor region
+    assert tr._capacity < (1 << 16)
+    assert tr._capacity >= (1 << 15)
+    loss2 = tr.train(32)            # trains at the shrunk shape
+    assert np.isfinite(loss2)

@@ -19,6 +19,13 @@ import numpy as np
 # persistent XLA compile cache: today's tunnel compiles run 4-10 min;
 # cached reloads are seconds
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+# NGP_TPU_FORCE_CPU=1: run on the host CPU even under the axon
+# sitecustomize (which pins JAX_PLATFORMS=axon at interpreter start — a
+# plain env override is ignored, the jax config must be set directly)
+if os.environ.get("NGP_TPU_FORCE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 

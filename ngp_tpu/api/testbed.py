@@ -902,10 +902,13 @@ class Testbed:
                   depth: np.ndarray = None, depth_scale: float = 1.0):
         """Replace a training image in place (ref: pyngp set_image)."""
         ds = self.nerf.training.dataset
+        if not isinstance(ds.images, np.ndarray):
+            ds.images = np.asarray(ds.images)   # materialize a lazy view
         ds.images[image_idx, : image.shape[0], : image.shape[1]] = image
+        # a float edit no longer round-trips to the uint8 copy
+        ds.images_u8 = None
         if self.trainer is not None:
-            import jax.numpy as jnp
-            self.trainer.data["images"] = jnp.asarray(ds.images, jnp.float16)
+            self.trainer.refresh_images()
 
     def create_empty_nerf_dataset(self, n_images: int, aabb_scale: int = 1,
                                   is_hdr: bool = False, width: int = 64,

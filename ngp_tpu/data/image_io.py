@@ -209,6 +209,15 @@ def _srgb_lut() -> np.ndarray:
     return _SRGB_U8_LUT
 
 
+def u8_to_linear_rgba(u8: np.ndarray) -> np.ndarray:
+    """sRGB uint8 RGBA (..., 4) → linear float32 premultiplied RGBA —
+    the exact conversion load_stbi applies, factored out so lazy image
+    views reproduce the eager path bit for bit."""
+    rgb = _srgb_lut()[u8[..., :3]]
+    a = u8[..., 3:4].astype(np.float32) / 255.0
+    return np.concatenate([rgb * a, a], axis=-1)
+
+
 def load_stbi(path: str | Path, premultiply: bool = True,
               return_u8: bool = False):
     """Load an LDR image → linear float32 RGBA (H, W, 4).

@@ -62,6 +62,55 @@ class NerfDataset:
         return self.images.shape[0]
 
 
+class LazyImageArray:
+    """Float32 linear-RGBA view of the stacked sRGB uint8 images,
+    converted per image on first access.
+
+    Training ships the uint8 stack to the device and converts per
+    sampled texel, so the float copy is only ever read one image at a
+    time (eval GT, sharpness maps). Converting every frame eagerly
+    dominated dataset load (fox on a single-core host: ~4 s/image of
+    LUT + premultiply work, ~1.7 GB resident) for data that was mostly
+    never touched."""
+
+    def __init__(self, u8: np.ndarray):
+        self._u8 = u8
+        self.shape = u8.shape
+        self.dtype = np.float32
+        self._cache: dict[int, np.ndarray] = {}
+        self._dense: Optional[np.ndarray] = None
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self._u8.ndim
+
+    def __getitem__(self, i):
+        if isinstance(i, (int, np.integer)):
+            j = int(i)
+            if j < 0:
+                j += self.shape[0]
+            if j not in self._cache:
+                if len(self._cache) > 4:      # eval touches 1-2 views
+                    self._cache.clear()
+                from ngp_tpu.data.image_io import u8_to_linear_rgba
+                self._cache[j] = u8_to_linear_rgba(self._u8[j])
+            return self._cache[j]
+        return self.materialize()[i]
+
+    def __array__(self, dtype=None, copy=None):
+        m = self.materialize()
+        return m.astype(dtype) if dtype is not None else m
+
+    def materialize(self) -> np.ndarray:
+        if self._dense is None:
+            from ngp_tpu.data.image_io import u8_to_linear_rgba
+            self._dense = u8_to_linear_rgba(self._u8)
+        return self._dense
+
+
 def nerf_matrix_to_ngp(m: np.ndarray, scale: float, offset: np.ndarray,
                        from_mitsuba: bool = False,
                        scale_columns: bool = False) -> np.ndarray:
@@ -97,11 +146,14 @@ def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray,
 
 
 def _load_image_rgba(path: Path, white_transparent: bool = False,
-                     black_transparent: bool = False):
+                     black_transparent: bool = False,
+                     defer: bool = False):
     """→ (float32 linear premultiplied RGBA, sRGB uint8 RGBA or None).
     The uint8 copy exists only when it losslessly round-trips to the
     float image (LDR source, no transparency rewrite) — the trainer ships
-    it to the device at ¼ the bytes and converts per sampled texel."""
+    it to the device at ¼ the bytes and converts per sampled texel.
+    ``defer`` skips the float conversion on that fast path (returns
+    (None, u8)); callers materialize via u8_to_linear_rgba on demand."""
     from ngp_tpu.data.image_io import load_exr, load_stbi
     if path.suffix.lower() == ".exr":
         img = load_exr(path)
@@ -124,6 +176,11 @@ def _load_image_rgba(path: Path, white_transparent: bool = False,
         rgb = _srgb_lut()[arr[..., :3]] * a[..., None]
         return np.concatenate([rgb, a[..., None]],
                               -1).astype(np.float32), None
+    if defer:
+        from PIL import Image
+        with Image.open(path) as im:
+            u8 = np.asarray(im.convert("RGBA"), np.uint8)
+        return None, u8
     img, u8 = load_stbi(path, return_u8=True)
     return img, u8
 
@@ -284,30 +341,39 @@ def load_nerf(paths, sharpen: float = 0.0,
         if ipath is None:
             return None
         img, u8 = _load_image_rgba(ipath, white_transparent,
-                                   black_transparent)
+                                   black_transparent, defer=True)
+
+        def as_float():
+            # materialize the deferred float copy (a transform below
+            # rewrites pixels, so the u8 fast path no longer round-trips)
+            nonlocal img, u8
+            if img is None:
+                from ngp_tpu.data.image_io import u8_to_linear_rgba
+                img = u8_to_linear_rgba(u8)
+            u8 = None
+            return img
+
         if downscale > 1:
-            img = img[::downscale, ::downscale]
+            img = img[::downscale, ::downscale] if img is not None else None
             u8 = u8[::downscale, ::downscale] if u8 is not None else None
         if sharpen_amount > 0.0:
-            img = _sharpen_image(img, sharpen_amount)
-            u8 = None
-        H, W = img.shape[:2]
+            img = _sharpen_image(as_float(), sharpen_amount)
+        H, W = (img if img is not None else u8).shape[:2]
         # alpha sidecar (ref: nerf_loader.cu:586-601)
         apath = ipath.with_name(ipath.stem + ".alpha" + ipath.suffix)
         if apath.exists():
             from ngp_tpu.data.image_io import load_stbi
             a = load_stbi(apath, premultiply=False)[..., 0:1]
-            img = np.concatenate([img[..., :3] * a, a], -1)
-            u8 = None
+            f = as_float()
+            img = np.concatenate([f[..., :3] * a, a], -1)
         # dynamic mask sidecar → negative red sentinel
         mpath = ipath.with_name("dynamic_mask_" + ipath.stem + ".png")
         if mpath.exists():
             from PIL import Image
             with Image.open(mpath) as im:
                 m = np.asarray(im.convert("L"), np.float32) / 255.0
-            img = img.copy()
+            img = as_float().copy()
             img[..., 0] = np.where(m > 0.5, -1.0, img[..., 0])
-            u8 = None
         # explicit per-pixel ray dumps (fork Blender workflow sidecar,
         # ref: rays_<name>.dat handling src/nerf_loader.cu:645-666 —
         # raw float32 Ray{o,d} per pixel; disables camera-derived rays)
@@ -356,18 +422,16 @@ def load_nerf(paths, sharpen: float = 0.0,
 
     # The engine batches per-image arrays; resolutions must agree (the
     # reference supports mixed sizes — pad to the max and mask).
-    Hs = [r[0].shape[0] for r in results]
-    Ws = [r[0].shape[1] for r in results]
+    Hs = [(r[0] if r[0] is not None else r[11]).shape[0] for r in results]
+    Ws = [(r[0] if r[0] is not None else r[11]).shape[1] for r in results]
     Hm, Wm = max(Hs), max(Ws)
-    imgs = np.zeros((len(results), Hm, Wm, 4), np.float32)
     depths = None
     if any(r[7] is not None for r in results):
         depths = np.zeros((len(results), Hm, Wm), np.float32)
-    for i, r in enumerate(results):
-        h, w = r[0].shape[:2]
-        imgs[i, :h, :w] = r[0]
-        if depths is not None and r[7] is not None:
-            depths[i, :h, :w] = r[7]
+        for i, r in enumerate(results):
+            if r[7] is not None:
+                h, w = r[7].shape[:2]
+                depths[i, :h, :w] = r[7]
 
     rays_arr = None
     if any(r[10] is not None for r in results):
@@ -383,6 +447,17 @@ def load_nerf(paths, sharpen: float = 0.0,
         for i, r in enumerate(results):
             h, w = r[11].shape[:2]
             imgs_u8[i, :h, :w] = r[11]
+
+    if imgs_u8 is not None and all(r[0] is None for r in results):
+        # LDR fast path end to end: float images are a lazy view
+        imgs = LazyImageArray(imgs_u8)
+    else:
+        from ngp_tpu.data.image_io import u8_to_linear_rgba
+        imgs = np.zeros((len(results), Hm, Wm, 4), np.float32)
+        for i, r in enumerate(results):
+            f = r[0] if r[0] is not None else u8_to_linear_rgba(r[11])
+            h, w = f.shape[:2]
+            imgs[i, :h, :w] = f
 
     lens = np.stack([r[6] for r in results])
     # lens mode (ref: read_lens — FTheta/LatLong override OpenCV)

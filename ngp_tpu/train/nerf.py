@@ -51,22 +51,29 @@ SHARPNESS_RES = 64  # per-image sharpness-map resolution
 def _sharpness_maps(dataset) -> np.ndarray:
     """(I, S, S) local sharpness per image: mean squared 4-neighbor
     Laplacian of luminance over tiles (the metric the reference's loader
-    feeds into sharpness_data; ref: compute_sharpness usage)."""
+    feeds into sharpness_data; ref: compute_sharpness usage — the
+    reference computes it on the LDR bytes, i.e. sRGB-space luminance,
+    which the u8 fast path below matches)."""
     S = SHARPNESS_RES
+    u8 = getattr(dataset, "images_u8", None)
     out = np.zeros((dataset.n_images, S, S), np.float32)
     for i in range(dataset.n_images):
         w, h = (int(x) for x in dataset.resolution[i])
-        img = dataset.images[i][:h, :w]
-        lum = img[..., :3].mean(-1)
+        if u8 is not None:
+            lum = u8[i, :h, :w, :3].astype(np.float32).mean(-1) / 255.0
+        else:
+            lum = dataset.images[i][:h, :w, :3].mean(-1)
         lap = np.abs(4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1] - lum[2:, 1:-1]
                      - lum[1:-1, :-2] - lum[1:-1, 2:])
-        ys = np.minimum((np.arange(h - 2) * S) // max(h - 2, 1), S - 1)
-        xs = np.minimum((np.arange(w - 2) * S) // max(w - 2, 1), S - 1)
-        cnt = np.zeros((S, S), np.float64)
-        acc = np.zeros((S, S), np.float64)
-        np.add.at(acc, (ys[:, None], xs[None, :]), lap ** 2)
-        np.add.at(cnt, (ys[:, None], xs[None, :]), 1.0)
-        out[i] = (acc / np.maximum(cnt, 1.0)).astype(np.float32)
+        ys = np.minimum((np.arange(h - 2, dtype=np.int64) * S)
+                        // max(h - 2, 1), S - 1)
+        xs = np.minimum((np.arange(w - 2, dtype=np.int64) * S)
+                        // max(w - 2, 1), S - 1)
+        # flat bincount: np.add.at is ~20x slower on megapixel images
+        idx = (ys[:, None] * S + xs[None, :]).ravel()
+        acc = np.bincount(idx, weights=(lap ** 2).ravel(), minlength=S * S)
+        cnt = np.bincount(idx, minlength=S * S)
+        out[i] = (acc / np.maximum(cnt, 1.0)).reshape(S, S)
     return out
 
 
@@ -82,6 +89,16 @@ class TrainStepStats(NamedTuple):
 class NerfTrainerConfig:
     n_rays: int = 4096               # adapted between steps (power-of-2)
     adapt_rays: bool = True          # False pins n_rays (one compile)
+    # live-ray masking: keep the STATIC ray batch at n_rays and adapt the
+    # ACTIVE count as a traced scalar instead of reshaping — ray-count
+    # adaptation with ZERO recompiles (the reference adapts
+    # rays_per_batch every step, testbed_nerf.cu:2890-2891; every
+    # distinct static n_rays costs minutes of XLA compile through the
+    # chip tunnel, so the adaptation must not change shapes). Masked-off
+    # rays still pay their march lattice but emit no samples, so the
+    # encode/MLP cost tracks the LIVE count. Takes precedence over
+    # adapt_rays.
+    dynamic_rays: bool = False
     target_batch_size: int = 1 << 18
     # shrink the compaction capacity (the static sample-stream shape, and
     # with it the encode/MLP cost per step) to a power-of-2 bucket of the
@@ -197,12 +214,16 @@ class NerfTrainer:
         if offs[-1] >= 2 ** 31:
             raise ValueError("dataset exceeds 2^31 pixels")
 
+        self._res_np, self._offs = res_np, offs
+
         def pool(imgs, ch, dtype):
             out = np.empty((int(offs[-1]), ch), dtype)
             for i, (w, h) in enumerate(res_np):
                 out[offs[i]: offs[i + 1]] = \
                     imgs[i][:h, :w].reshape(-1, ch)
             return out
+
+        self._pool = pool
 
         # rolling shutter: per-ray slerp between start/end extrinsics when
         # the dataset carries distinct transform_matrix_start/end
@@ -281,6 +302,7 @@ class NerfTrainer:
         self.training_step = 0
         self.loss_scalar_ema = 0.0
         self._capacity = self.tcfg.target_batch_size  # live stream bucket
+        self._n_live = self.tcfg.n_rays  # dynamic_rays: active ray count
         self._chunk_fns = {}  # (n_rays, T, …, capacity) → jitted chunk
         # error-map CDF rebuild cadence grows ×1.5 after each rebuild
         # (ref: testbed_nerf.cu:3022)
@@ -438,6 +460,19 @@ class NerfTrainer:
         # (normalized) ray (ref: rays_in_unnormalized[i].d.norm() :1450)
         return o, d, d_norm[:, 0]
 
+    def refresh_images(self):
+        """Re-upload the device pixel pool after an in-place edit of
+        ``dataset.images`` (pyngp set_image; ref: python_api.cu
+        Testbed::set_image re-uploads the GPU copy). Float edits break
+        the uint8 round-trip, so the pool switches to the float16 path
+        (dtype change → jit retraces the sampling branch)."""
+        import jax.numpy as jnp
+        ds = self.dataset
+        u8 = getattr(ds, "images_u8", None)
+        self.data["pixels"] = (
+            jnp.asarray(self._pool(u8, 4, np.uint8)) if u8 is not None
+            else jnp.asarray(self._pool(ds.images, 4, np.float16)))
+
     def _march(self, bitfield, o, d, key, n_rays):
         return march_rays(bitfield, o, d, key, n_rays, self.tcfg.march_steps,
                           self.cone_angle, self.max_cascade,
@@ -454,7 +489,7 @@ class NerfTrainer:
     def _train_step_impl(self, params, opt_state, cam, cam_m, cam_v,
                          error_map, sharp_grid, error_state, bitfield,
                          coarse, grid_mean, key, data, n_rays,
-                         axis_name=None, capacity=None):
+                         axis_name=None, capacity=None, n_live=None):
         """One training step. ``axis_name`` turns the same code into the
         data-parallel per-device step (SURVEY §2.10): rays/samples are
         this device's shard, and gradients / counters / error-map deposits
@@ -484,6 +519,11 @@ class NerfTrainer:
             depth_tgt = None
         # masked-away pixels (negative red sentinel) never train
         ray_ok = texsamp[:, 0] >= 0.0
+        if n_live is not None:
+            # dynamic_rays: only the first n_live of the static batch are
+            # active this step (they emit no samples → no loss, no
+            # error-map deposit; n_eff normalizes over live rays only)
+            ray_ok = ray_ok & (jnp.arange(n_rays) < n_live)
         if tc.hierarchical_march and coarse is not None:
             from ngp_tpu.rays.marching import march_and_compact_hier
             (s_t, s_dt, s_ray, counts, offsets, fits, total, seg_total,
@@ -783,12 +823,23 @@ class NerfTrainer:
         this applies the same feedback at step 0, so no step ever trains
         at a truncating ray count."""
         tc = self.tcfg
-        if not (tc.adapt_rays and tc.hierarchical_march):
+        if not ((tc.adapt_rays or tc.dynamic_rays)
+                and tc.hierarchical_march):
             return
         S = tc.target_batch_size
         seg_cap = S // 8 * 4
         err_state = self._error_state()
         key = jax.random.key(0x5E6)
+        if tc.dynamic_rays:
+            # static batch stays at n_rays; size the initial LIVE count
+            # from one probe (counts scale ~linearly in the mask length)
+            segs_d, total_d = self._march_probe_fn(tc.n_rays)(
+                self.data, self.cam_params, self.grid.bitfield,
+                self.grid.coarse, err_state, key)
+            segs, total = int(segs_d), int(total_d)
+            factor = max(segs / (0.9 * seg_cap), total / (0.9 * S), 1.0)
+            self._n_live = int(np.clip(tc.n_rays / factor, 128, tc.n_rays))
+            return
         for _ in range(6):
             n_rays = tc.n_rays
             segs_d, total_d = self._march_probe_fn(n_rays)(
@@ -839,7 +890,17 @@ class NerfTrainer:
                 f"this step (raise target_batch_size or lower n_rays)")
             self._warned_segcap = True
         self.last_surviving_segments = segs
-        if measured > 0 and tc.adapt_rays:
+        if measured > 0 and tc.dynamic_rays:
+            # live-count adaptation: same feedback law as adapt_rays but
+            # against the TRACED mask length — no pow2 snap (no recompile
+            # to amortize) and bounded by the segment budget
+            live = max(self._n_live, 1)
+            ideal = live * tc.target_batch_size / measured
+            if cap and segs > 0:
+                ideal = min(ideal, live * 0.9 * cap / segs)
+            ideal = min(ideal, live * 2)
+            self._n_live = int(np.clip(round(ideal), 128, tc.n_rays))
+        elif measured > 0 and tc.adapt_rays:
             ideal = n_rays * tc.target_batch_size / measured
             if cap and segs > 0:
                 # the sample counter saturates at capacity once segments
@@ -884,8 +945,10 @@ class NerfTrainer:
         if fn is not None:
             return fn
 
+        dynamic = self.tcfg.dynamic_rays
+
         def chunk(params, opt_state, cam, cam_m, cam_v, error_map,
-                  sharp_grid, err_state, grid, key, data):
+                  sharp_grid, err_state, grid, key, data, n_live=None):
             if with_grid_update:
                 key, kg = jax.random.split(key)
                 grid = self._grid_update_impl(params, grid, kg,
@@ -898,7 +961,8 @@ class NerfTrainer:
                 p, o, cm, m, v, em, sg, stats, k = self._train_step_impl(
                     p, o, cm, m, v, em, sg, err_state, grid.bitfield,
                     grid.coarse, grid.mean, k, data, n_rays=n_rays,
-                    capacity=capacity or None)
+                    capacity=capacity or None,
+                    n_live=n_live if dynamic else None)
                 return (p, o, cm, m, v, em, sg, k), \
                     (stats.loss, stats.measured_samples_uncompacted,
                      stats.surviving_segments)
@@ -908,6 +972,8 @@ class NerfTrainer:
                                                        length=T)
             return c + (grid, losses.mean(), measured[-1], segs[-1])
 
+        if not dynamic:
+            chunk = functools.partial(chunk, n_live=None)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 8))
         self._chunk_fns[key_] = fn
         return fn
@@ -982,12 +1048,15 @@ class NerfTrainer:
             fn = self._chunk_fn(n_rays, k_chunk,
                                 with_grid_update=at_boundary and not warmup,
                                 full_sweep=False, capacity=cap)
+            args = (self.params, self.opt_state, self.cam_params,
+                    self.cam_m, self.cam_v, self.error_map,
+                    self.sharpness_grid, err_state, self.grid, self.key,
+                    self.data)
+            if tc.dynamic_rays:
+                args = args + (jnp.int32(self._n_live),)
             (self.params, self.opt_state, self.cam_params, self.cam_m,
              self.cam_v, self.error_map, self.sharpness_grid, self.key,
-             self.grid, loss_dev, measured, segs) = fn(
-                self.params, self.opt_state, self.cam_params, self.cam_m,
-                self.cam_v, self.error_map, self.sharpness_grid, err_state,
-                self.grid, self.key, self.data)
+             self.grid, loss_dev, measured, segs) = fn(*args)
             pending = (loss_dev, measured, segs, n_rays)
             self.training_step += k_chunk
             self._steps_since_error_map_update += k_chunk

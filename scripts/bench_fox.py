@@ -37,6 +37,9 @@ def main():
     p.add_argument("--grid_impl", default="blocked")
     p.add_argument("--fixed_rays", type=int, default=0,
                    help="pin n_rays (avoids recompiles on shape changes)")
+    p.add_argument("--dynamic_rays", type=int, default=0, metavar="RMAX",
+                   help="static ray batch RMAX with a TRACED live count "
+                        "(ray adaptation, zero recompiles)")
     p.add_argument("--save_snapshot", default="")
     p.add_argument("--load_snapshot", default="")
     p.add_argument("--diag", action="store_true",
@@ -80,6 +83,10 @@ def main():
     if args.fixed_rays:
         tcfg.n_rays = args.fixed_rays
         tcfg.adapt_rays = False
+    if args.dynamic_rays:
+        tcfg.n_rays = args.dynamic_rays
+        tcfg.adapt_rays = False
+        tcfg.dynamic_rays = True
     if args.importance:
         tcfg.sample_image_proportional_to_error = True
         tcfg.sample_focal_plane_proportional_to_error = True
@@ -191,8 +198,9 @@ def main():
         loss = tr.train(k)
         dt = time.time() - ts
         steps_done += k
+        live = f" live={tr._n_live}" if tr.tcfg.dynamic_rays else ""
         print(f"step {steps_done}: loss={loss:.5f} "
-              f"{k / dt:.2f} steps/s n_rays={tr.tcfg.n_rays} "
+              f"{k / dt:.2f} steps/s n_rays={tr.tcfg.n_rays}{live} "
               f"elapsed={time.time() - t_train0:.0f}s", flush=True)
         if renderer is None:
             # dataset intrinsics: principal point + OpenCV distortion —

@@ -47,3 +47,21 @@ def test_cameras_converge_near_content(fox):
         assert t > 0  # looking TOWARD the content
         dists.append(np.linalg.norm(o + t * f))
     assert np.mean(dists) < 1.0, dists
+
+
+def test_lazy_images_match_eager_conversion(fox):
+    """LDR captures defer the float conversion (fox on a 1-core host:
+    234 s eager → ~6 s); the lazy view must reproduce load_stbi bit for
+    bit, and editing an image (pyngp set_image) must still work."""
+    from ngp_tpu.data.image_io import load_stbi
+    from ngp_tpu.data.nerf_loader import LazyImageArray
+    assert isinstance(fox.images, LazyImageArray)
+    assert fox.images.shape == fox.images_u8.shape
+    eager = load_stbi(fox.paths[1])[::8, ::8]   # fixture downscale=8
+    h, w = eager.shape[:2]
+    lazy = fox.images[1]
+    assert np.array_equal(eager, lazy[:h, :w])
+    # whole-array access (np.asarray) materializes
+    dense = np.asarray(fox.images)
+    assert dense.dtype == np.float32
+    assert np.array_equal(dense[1], lazy)

@@ -195,6 +195,75 @@ def composite_samples(sigma, rgb, s_dt, s_ray, offsets, counts, n_rays: int,
     return rgb_ray, 1.0 - jnp.exp(-opt_depth), w
 
 
+def march_rays_hier(bitfield, coarse, o, d, key, n_rays: int,
+                    march_steps: int, cone_angle: float, max_cascade: int,
+                    aabb_min, aabb_size, t_start_min: float = 0.0,
+                    seg: int = 8, seg_capacity: int = 0):
+    """march_rays with the two-level occupancy filter but LATTICE-layout
+    output: same (t, dt, emit) contract (bit-identical wherever the
+    coarse mask's conservativeness holds — the invariant the training
+    hier march is tested under), plus the surviving-segment count.
+
+    The flat filter pays one XLA bitfield gather per lattice point
+    (~0.2 G rows/s on TPU → 84 ms for a 16k-ray render chunk, the single
+    largest block of the wave renderer's march). Here fine gathers run
+    only on points whose ``seg``-step segment passes the 16³ coarse test.
+    ``seg_capacity`` bounds the surviving-segment stream (a static
+    shape); callers must check ``seg_total`` ≤ it — overflow drops TAIL
+    segments (prefix semantics of compact_samples), which under-renders.
+    """
+    K = march_steps
+    assert K % seg == 0
+    n_seg = K // seg
+    S1 = seg_capacity or (n_rays * n_seg // 8)
+
+    tmin, tmax = ray_aabb_intersect(o, d, aabb_min, aabb_min + aabb_size)
+    tmin = jnp.maximum(tmin, t_start_min)
+    if key is not None:
+        u = jax.random.uniform(key, (n_rays,))
+        t0 = tmin + calc_dt(tmin, cone_angle) * u
+    else:
+        t0 = tmin
+    t = step_lattice(t0, cone_angle, K)                    # (R, K)
+    dt = calc_dt(t, cone_angle)
+    inside = (t < tmax[:, None]) & (tmax > tmin)[:, None]
+
+    # level 1: coarse test on segment midpoints (as march_and_compact_hier)
+    tm = t.reshape(n_rays, n_seg, seg)[:, :, seg // 2]
+    dm = dt.reshape(n_rays, n_seg, seg)[:, :, seg // 2]
+    pos_m = o[:, None, :] + tm[..., None] * d[:, None, :]
+    mip_m = occ.mip_from_dt(dm.reshape(-1), pos_m.reshape(-1, 3),
+                            max_cascade)
+    occ_seg = occ.coarse_occupied_at(coarse, pos_m.reshape(-1, 3),
+                                     mip_m).reshape(n_rays, n_seg)
+    emit_seg = occ_seg & inside.reshape(n_rays, n_seg, seg).any(-1)
+    seg_total = emit_seg.sum()
+    _, _, seg_ray, _, _, _, _, seg_k = compact_samples(
+        tm, dm, emit_seg, n_rays, S1)
+    seg_valid = seg_ray < n_rays
+    rid0 = jnp.clip(seg_ray, 0, n_rays - 1)
+
+    # level 2: fine test on surviving segments only
+    ks = seg_k[:, None] * seg + jnp.arange(seg)[None]      # (S1, seg)
+    t_s = t[rid0[:, None], ks]
+    dt_s = dt[rid0[:, None], ks]
+    ins_s = inside[rid0[:, None], ks] & seg_valid[:, None]
+    pos_s = o[rid0][:, None, :] + t_s[..., None] * d[rid0][:, None, :]
+    flat = pos_s.reshape(-1, 3)
+    mip_s = occ.mip_from_dt(dt_s.reshape(-1), flat, max_cascade)
+    occ_s = occ.occupied_at(bitfield, flat, mip_s).reshape(ins_s.shape)
+    emit_s = ins_s & occ_s
+
+    # scatter survivors back onto the (R, K) lattice. Valid stream slots
+    # carry unique (ray, lattice-slot) pairs; invalid slots route to the
+    # OOB row n_rays so mode="drop" discards them (their clipped (rid0,
+    # ks=0) would otherwise collide with genuine entries).
+    rid_sc = jnp.where(seg_valid, rid0, n_rays)[:, None]   # (S1, 1)
+    emit = jnp.zeros((n_rays, K), bool).at[rid_sc, ks].set(
+        emit_s, mode="drop")
+    return t, dt, emit, seg_total
+
+
 def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,
                            march_steps: int, cone_angle: float,
                            max_cascade: int, aabb_min, aabb_size,

@@ -337,8 +337,11 @@ class NerfTrainer:
         if tc.sample_image_proportional_to_error:
             cdf_img = error_state["cdf_img"]
             u = jax.random.uniform(k_img, (n_rays,))
-            # first half of rays uniform, rest via CDF (ref: image_idx :1062)
-            uni = jnp.arange(n_rays) < n_rays // 2
+            # 50/50 uniform/CDF picks, INTERLEAVED by parity (ref splits
+            # by batch halves, image_idx :1062 — equivalent iid-per-ray,
+            # but a positional split would leave dynamic_rays' prefix
+            # live-mask with only the uniform half)
+            uni = (jnp.arange(n_rays) % 2) == 0
             img_cdf = jnp.clip(jnp.searchsorted(cdf_img, u), 0, I - 1)
             img_uni = (u * I).astype(jnp.int32).clip(0, I - 1)
             img = jnp.where(uni, img_uni, img_cdf)

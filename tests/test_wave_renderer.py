@@ -90,3 +90,41 @@ def test_wave_spp_and_masks():
     img_w = r_w.render(tr.params, bits, ds.xforms[0], 8, 8,
                        focal=(10., 10.), spp=2)
     np.testing.assert_allclose(img_w, img_s, rtol=2e-4, atol=2e-5)
+
+
+def test_hier_march_matches_flat_on_sparse_grid():
+    """wave_march="hier" must reproduce the flat wave render exactly on a
+    sparse bitfield (the realistic regime — the coarse mask is
+    conservative), and fall back to flat when the segment stream
+    overflows (tiny wave_hier_frac headroom)."""
+    import jax
+    import jax.numpy as jnp
+    from ngp_tpu.grid import occupancy as occ
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+
+    tr, ds, _ = _setup()
+    dens = jnp.where(jax.random.uniform(jax.random.PRNGKey(0),
+                                        tr.grid.density.shape) > 0.97,
+                     1.0, 0.0)                       # ~3% occupied
+    grid = occ.rebuild_bitfield(tr.grid._replace(density=dens),
+                                tr.max_cascade)
+    kw = dict(width=12, height=12, march_steps=256, chunk=64, wave=True,
+              wave_cap=32, linear_out=False,
+              background=(0.2, 0.1, 0.3, 0.0))
+    img_flat = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave_march="flat", **kw)).render(
+        tr.params, grid.bitfield, ds.xforms[0], 12, 12, focal=(14., 14.))
+    img_hier = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave_march="hier", **kw)).render(
+        tr.params, grid.bitfield, ds.xforms[0], 12, 12, focal=(14., 14.))
+    np.testing.assert_array_equal(img_hier, img_flat)
+
+    # overflow → flat fallback still yields the exact image (frac so
+    # large the bound 4096 can't hold a dense chunk's segments)
+    bits_full = jnp.full_like(tr.grid.bitfield, 255)
+    imgs = []
+    for frac in (8, 10 ** 6):
+        imgs.append(NerfRenderer.for_trainer(tr, RenderOptions(
+            wave_march="hier", wave_hier_frac=frac, **kw)).render(
+            tr.params, bits_full, ds.xforms[0], 12, 12, focal=(14., 14.)))
+    np.testing.assert_array_equal(imgs[0], imgs[1])

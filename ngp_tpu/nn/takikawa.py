@@ -30,14 +30,18 @@ def build_surface_occupancy(surface_points: np.ndarray, max_depth: int,
     it or its 1-neighborhood (dilation keeps interpolation well-defined
     at cell borders, like the reference's dual-octree vertices)."""
     out = []
+    offs = np.array([(dx, dy, dz) for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) for dz in (-1, 0, 1)], np.int64)
     for d in range(start_depth, max_depth + 1):
         res = 1 << d
         idx = np.clip((surface_points * res).astype(np.int64), 0, res - 1)
         occ = np.zeros((res, res, res), bool)
-        occ[idx[:, 0], idx[:, 1], idx[:, 2]] = True
-        # 1-cell dilation
-        for axis in range(3):
-            occ |= np.roll(occ, 1, axis) | np.roll(occ, -1, axis)
+        # 1-cell dilation by writing all 27 neighbor offsets of each
+        # sample (np.roll on the dense cube was ~19 min at depth 10 on a
+        # single core; 27 fancy-index writes are milliseconds)
+        for off in offs:
+            j = np.clip(idx + off, 0, res - 1)
+            occ[j[:, 0], j[:, 1], j[:, 2]] = True
         out.append(occ)
     return tuple(out)
 
@@ -88,6 +92,12 @@ class TakikawaEncoding:
         byte = jnp.take(self.occupancy[level], flat // 8, mode="clip")
         return ((byte >> (7 - flat % 8).astype(jnp.uint8)) & 1).astype(
             jnp.float32)
+
+    def contains(self, pos: jax.Array) -> jax.Array:
+        """True where the finest octree level has features — the
+        reference's TriangleOctree::contains analog (IoU counts points
+        outside as correct by assumption, testbed_sdf.cu:464-466)."""
+        return self._level_mask(self.meta.n_levels - 1, pos) > 0
 
     def apply(self, params, pos, **_):
         import jax as _jax

@@ -52,6 +52,7 @@ class SdfTrainer:
             surf = TriangleBvh(*load_mesh(mesh_path)[:2]).sample_surface(
                 1 << 18, np.random.default_rng(seed))
             encoding = TakikawaEncoding(meta, surf)
+            self.tak_encoding = encoding
             net = MLP.from_config(encoding.n_output_dims, 1, config["network"])
 
             class _TakModel:
@@ -218,6 +219,15 @@ class SdfTrainer:
             pts = rng.random((n, 3), np.float32)
             gt = self.bvh.signed_distance(pts, mode=self.sign_mode) <= 0
             pred = self.distance_at(pts) <= 0
+            if getattr(self, "tak_encoding", None) is not None:
+                # octree-encoding parity: the reference counts samples
+                # OUTSIDE the octree as correct by assumption — features
+                # (and thus meaningful distances) exist only in the
+                # surface band (compare_signs_kernel,
+                # src/testbed_sdf.cu:464-466)
+                inside_oct = np.asarray(self.tak_encoding.contains(
+                    jnp.asarray(pts)))
+                pred = np.where(inside_oct, pred, gt)
             inter += int(np.logical_and(gt, pred).sum())
             union += int(np.logical_or(gt, pred).sum())
             remaining -= n

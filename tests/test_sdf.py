@@ -128,3 +128,36 @@ def test_octree_uniform_sampling(tmp_path):
                                       mode=tr.sign_mode))
     leaf = 2.0 ** (1 - 5)
     assert float(np.quantile(d, 0.99)) < 4 * leaf, float(d.max())
+
+
+def test_takikawa_trains_and_iou_uses_octree_semantics(tmp_path):
+    """Takikawa (octree-masked) encoding: features exist only in the
+    surface band, so IoU must count outside-octree samples as correct
+    (ref: compare_signs_kernel, src/testbed_sdf.cu:464-466 — 'assume,
+    when using the octree, that the model is always correct outside').
+    Round-4 CPU A/B on armadillo: base 0.9896 vs takikawa 0.9987 @400."""
+    import numpy as np
+    from ngp_tpu.config import load_network_config
+    from ngp_tpu.train.sdf import SdfTrainer
+    v, f = make_cube_mesh()
+    p = tmp_path / "cube.obj"
+    with open(p, "w") as fh:
+        for vv in v:
+            fh.write("v %f %f %f\n" % tuple(vv))
+        for ff in f:
+            fh.write("f %d %d %d\n" % tuple(ff + 1))
+    cfg = load_network_config("configs/sdf/takikawa.json")
+    cfg["encoding"]["n_levels"] = 6        # depth 6 keeps the test tiny
+    cfg["optimizer"]["nested"]["nested"]["learning_rate"] = 1e-3
+    tr = SdfTrainer(p, cfg, batch_size=1 << 12)
+    assert tr.tak_encoding is not None
+    # contains(): true on the surface itself, false deep inside the
+    # solid (the center is half an edge from any face — far outside the
+    # ±1-cell surface band at depth 6)
+    surf = tr.bvh.sample_surface(64, np.random.default_rng(0))
+    assert np.asarray(tr.tak_encoding.contains(surf)).all()
+    center = tr.vertices.mean(0, keepdims=True).astype(np.float32)
+    assert not np.asarray(tr.tak_encoding.contains(center)).any()
+    tr.train(120)
+    iou = tr.calculate_iou(n_samples=1 << 15)
+    assert iou > 0.5, iou

@@ -20,8 +20,8 @@ import time
 # whole round when the tunnel had a bad day (BENCH_r03). Retry with backoff
 # across ~15 min before giving up, and even then fall back to a clearly
 # labeled CPU result so the driver always records a nonzero number.
-PROBE_ATTEMPTS = (240, 360, 420)
-PROBE_BACKOFF_S = 30
+PROBE_ATTEMPTS = (240, 360, 420, 420, 420)
+PROBE_BACKOFF_S = 240
 TIMEOUT_S = 3600
 TARGET_DB = 30.0
 TARGET_SECONDS = 60.0

@@ -24,7 +24,10 @@ shuffle (tpu.dynamic_gather along the minor axis). This encoding is
   at identical kernel cost (the row index is dynamic either way). These
   levels trade tcnn's C0 guarantee at 3-cell block boundaries for
   single-row lookups; the per-level feature magnitudes are small and
-  seams never align across levels.
+  seams never align across levels. Round-4 ablation (albert.exr image
+  fit, 400 equal steps, identical capacity): blocked 39.29 dB vs
+  tcnn-layout gather 38.52 dB — the seams cost nothing measurable; the
+  blocked layout wins outright.
 
 Parameter count per level: n_rows · 128 floats. Capacity is matched to a
 given tcnn log2_hashmap_size by choosing n_rows = 2^T · F / 128.

@@ -99,17 +99,6 @@ def compact_samples(t, dt, emit, n_rays: int, capacity: int,
     fits = (offsets + counts) <= S          # nondecreasing → prefix of rays
     total = offsets[-1] + counts[-1]
 
-    # One flat cumsum gives each kept sample its stream slot; ONE scatter
-    # moves the per-sample lattice slot k, and everything else is derived
-    # by GATHERS (XLA TPU scatters cost ~10 ms per 4M updates; the round-1
-    # version scattered t/dt/ray separately).
-    flat_emit = (emit & fits[:, None]).reshape(-1)
-    pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
-    dst = jnp.where(flat_emit, pos_in_stream, S)
-    k_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (n_rays, K))
-    s_k = jnp.zeros((S,), jnp.int32).at[dst].set(k_ids.reshape(-1),
-                                                 mode="drop")
-
     # ray id per slot: repeat ray r counts[r] times (prefix-contiguous);
     # slots past the kept total get the sentinel n_rays
     kept = jnp.where(fits, counts, 0)
@@ -117,8 +106,37 @@ def compact_samples(t, dt, emit, n_rays: int, capacity: int,
     s_ray = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), kept,
                        total_repeat_length=S)
     s_ray = jnp.where(jnp.arange(S) < n_kept, s_ray, n_rays)
-
     rid = jnp.clip(s_ray, 0, n_rays - 1)
+
+    if S * 16 <= n_rays * K:
+        # stream ≪ lattice (render-body regime): find each slot's lattice
+        # slot k by BINARY SEARCH over the per-ray emit cumsum — ~11·S
+        # gathers instead of an R·K-sized scatter (XLA TPU scatters run
+        # ~0.2 G rows/s; at a 16k-ray render segment the scatter alone
+        # was ~21 ms for a ≤2^15 stream)
+        C = jnp.cumsum(emit.astype(jnp.int32), axis=1)         # (R, K)
+        q1 = jnp.arange(S, dtype=jnp.int32) - offsets[rid] + 1  # target
+        lo = jnp.zeros((S,), jnp.int32)
+        step = 1 << max((K - 1).bit_length() - 1, 0)
+        while step >= 1:
+            nxt = lo + step
+            c_at = C[rid, jnp.minimum(nxt, K) - 1]
+            lo = jnp.where((nxt <= K) & (c_at < q1), nxt, lo)
+            step //= 2
+        s_k = jnp.minimum(lo, K - 1)
+    else:
+        # One flat cumsum gives each kept sample its stream slot; ONE
+        # scatter moves the per-sample lattice slot k, and everything
+        # else is derived by GATHERS (the round-1 version scattered
+        # t/dt/ray separately).
+        flat_emit = (emit & fits[:, None]).reshape(-1)
+        pos_in_stream = jnp.cumsum(flat_emit.astype(jnp.int32)) - 1
+        dst = jnp.where(flat_emit, pos_in_stream, S)
+        k_ids = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
+                                 (n_rays, K))
+        s_k = jnp.zeros((S,), jnp.int32).at[dst].set(k_ids.reshape(-1),
+                                                     mode="drop")
+
     s_t = t[rid, s_k]
     s_dt = dt[rid, s_k]
     return s_t, s_dt, s_ray, counts, offsets, fits, total, s_k

@@ -157,3 +157,36 @@ def test_exclusive_depth_matches_f64_and_survives_huge_sigma():
     # exact where the prefix is small enough for T to matter
     small = ref < 100.0
     np.testing.assert_allclose(got[small], ref[small], rtol=1e-5)
+
+
+def test_compaction_search_branch_matches_scatter_branch():
+    """compact_samples picks a stream-sized binary search when
+    S ≪ lattice (the render-body regime — XLA TPU scatters are sized by
+    the SOURCE); both branches must agree on every valid slot."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ngp_tpu.rays.marching import compact_samples
+
+    rng = np.random.default_rng(7)
+    R, K = 32, 256
+    t = jnp.asarray(rng.random((R, K), np.float32).cumsum(1))
+    dt = jnp.asarray(rng.random((R, K), np.float32))
+    emit = jnp.asarray(rng.random((R, K)) < 0.02)
+
+    def run(S):
+        return [np.asarray(x) for x in compact_samples(t, dt, emit, R, S)]
+
+    # S=256: 256*16 ≤ 8192 → search branch; S=4096: scatter branch.
+    # Compare the search result against the scatter result truncated to
+    # the same capacity semantics (same kept-ray prefix here: total<256).
+    total = int(np.asarray(emit).sum())
+    assert total < 256, "tune the density so both capacities fit all rays"
+    a = run(256)
+    b = run(4096)
+    n_kept = total
+    for i, name in ((0, "t"), (1, "dt"), (2, "ray"), (7, "k")):
+        np.testing.assert_array_equal(a[i][:n_kept], b[i][:n_kept],
+                                      err_msg=name)
+    np.testing.assert_array_equal(a[3], b[3])   # counts
+    np.testing.assert_array_equal(a[4], b[4])   # offsets
+    assert int(a[6]) == int(b[6]) == total

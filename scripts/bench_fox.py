@@ -29,6 +29,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scene", default="/root/reference/data/nerf/fox")
+    p.add_argument("--downscale", type=int, default=1,
+                   help="dataset downscale (CPU-scale ablations)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="override target_batch_size")
+    p.add_argument("--march_steps", type=int, default=0)
     p.add_argument("--n_steps", type=int, default=1000)
     p.add_argument("--eval_every", type=int, default=250)
     p.add_argument("--eval_view", type=int, default=0)
@@ -76,10 +81,14 @@ def main():
 
     tl = _t.time()
     ds = load_nerf(args.scene, scale=args.world_scale,
-                   offset=args.world_offset)
+                   offset=args.world_offset, downscale=args.downscale)
     print("load_nerf %.1fs" % (_t.time() - tl), flush=True)
     cfg = load_network_config("configs/nerf/base.json")
     tcfg = NerfTrainerConfig()
+    if args.batch:
+        tcfg.target_batch_size = args.batch
+    if args.march_steps:
+        tcfg.march_steps = args.march_steps
     if args.fixed_rays:
         tcfg.n_rays = args.fixed_rays
         tcfg.adapt_rays = False

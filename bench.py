@@ -98,8 +98,11 @@ eval_psnr()           # compile render path
 train_s = 0.0
 elapsed = None
 psnr = 0.0
-for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 1024,
-              1024, 1024, 1024]:
+# finer chunks through the expected 30 dB crossing zone (the round-4 IS
+# run crossed at step ~3072): a 1024-step gap would record the crossing
+# up to ~300 s late
+for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 512, 256, 256,
+              256, 256, 256, 256, 512, 512, 1024]:
     t0 = time.time()
     tr.train(chunk)
     train_s += time.time() - t0

@@ -569,23 +569,43 @@ class NerfRenderer:
         cache[key_] = run
         return run
 
-    def _render_chunk_wave(self, params, bitfield, xf_s, xf_e, rsh, bg,
-                           key, pix0, jitter_on, fx, fy, n_rays, W, H,
-                           motion):
-        """Wave-rendered chunk (host-orchestrated): march once, size each
-        segment's power-of-2 stream bucket from a live-sample count, and
-        run the fused body per segment. Matches the static path's math
-        bit-for-bit at equal caps (test_wave_renderer). wave_sync picks
-        the count strategy: "bulk" = one sync per chunk on a
-        transmittance-free bound; "exact" = one sync per segment."""
+    def _wave_start(self, params, bitfield, xf_s, xf_e, rsh, bg,
+                    key, pix0, jitter_on, fx, fy, n_rays, W, H, motion):
+        """Phase 1 of a pipelined wave chunk: dispatch the march and the
+        bulk count ASYNC and return the device handles — no host sync
+        here. The caller fetches the counts one work item later
+        (_wave_finish), so the tunnel round-trip hides behind the
+        previous item's segment bodies instead of idling the device."""
+        opts = self.opts
+        march, seg_cap = self._wave_march_fn(n_rays, W, H, motion,
+                                             impl=opts.wave_march)
+        margs = (bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on,
+                 fx, fy)
+        o, d, t, dt, emit, bg_ray, seg_total = march(*margs)
+        counts = None
+        if opts.wave_sync == "bulk":
+            # per-segment bucket bounds + the hier-march overflow counter
+            # ride ONE transfer
+            counts = jnp.concatenate(
+                [self._wave_countall_fn(n_rays)(emit),
+                 seg_total[None].astype(jnp.int32)])
+        return (o, d, t, dt, emit, bg_ray, seg_total, counts, seg_cap,
+                margs)
+
+    def _wave_finish(self, params, st, n_rays, W, H, motion):
+        """Phase 2: fetch the counts (the only host sync on the hot
+        path), size each segment's power-of-2 stream bucket, and run the
+        fused compact+eval+composite body per segment. Matches the
+        static path's math bit-for-bit at equal caps
+        (test_wave_renderer). wave_sync picks the count strategy:
+        "bulk" = one sync per chunk on a transmittance-free bound;
+        "exact" = one sync per SEGMENT (tighter buckets, more syncs)."""
         opts = self.opts
         mode = opts.render_mode
         nseg = max(opts.march_segments, 1)
         seg_len = opts.march_steps // nseg
-        march, seg_cap = self._wave_march_fn(n_rays, W, H, motion,
-                                             impl=opts.wave_march)
-        o, d, t, dt, emit, bg_ray, seg_total = march(
-            bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on, fx, fy)
+        (o, d, t, dt, emit, bg_ray, seg_total, counts, seg_cap,
+         margs) = st
         logT = jnp.zeros((n_rays,))
         rgb_acc = jnp.zeros((n_rays, 3))
         depth_acc = jnp.zeros((n_rays,))
@@ -594,11 +614,7 @@ class NerfRenderer:
         S_max = n_rays * opts.wave_cap
         bulk = opts.wave_sync == "bulk"
         if bulk:
-            # ONE host sync: per-segment bucket bounds + the hier-march
-            # overflow counter ride the same transfer
-            fetched = np.asarray(jnp.concatenate(
-                [self._wave_countall_fn(n_rays)(emit),
-                 seg_total[None].astype(jnp.int32)]))
+            fetched = np.asarray(counts)
             bounds, seg_total_h = fetched[:-1], int(fetched[-1])
         else:
             seg_total_h = int(np.asarray(seg_total)) \
@@ -610,9 +626,7 @@ class NerfRenderer:
             # this fires often)
             march, _ = self._wave_march_fn(n_rays, W, H, motion,
                                            impl="flat")
-            o, d, t, dt, emit, bg_ray, _ = march(
-                bitfield, xf_s, xf_e, rsh, bg, key, pix0, jitter_on,
-                fx, fy)
+            o, d, t, dt, emit, bg_ray, _ = march(*margs)
             if bulk:
                 bounds = np.asarray(self._wave_countall_fn(n_rays)(emit))
         for si in range(nseg):
@@ -652,25 +666,43 @@ class NerfRenderer:
 
     def _render_wave(self, params, bitfield, xf_s, xf_e, rsh, bg, key,
                      eff_chunk, n_chunks, W, H, n_spp, fx, fy, motion):
-        """Full-frame wave render: host loop over (chunk, spp)."""
+        """Full-frame wave render, PIPELINED over (chunk, spp) work
+        items: item k+1's march + bulk count are dispatched BEFORE item
+        k's count is fetched, so the device always has queued work while
+        the host waits on the tunnel round-trip (~0.3 s/sync through
+        axon — this stall dominated the unpipelined wave path). Per-chunk
+        rgba accumulates on the DEVICE; the host fetches pixels once at
+        the end."""
         opts = self.opts
         snap = opts.snap_to_pixel_centers
-        acc = np.zeros((n_chunks * eff_chunk, 4), np.float32)
         self.last_wave_samples = 0
-        for c in range(n_chunks):
-            part = np.zeros((eff_chunk, 4), np.float32)
-            for s in range(n_spp):
-                kc = jax.random.fold_in(key, s * 4096 + c)
-                jit_on = jnp.asarray(not snap) & (s > 0)
-                rgb, opac, tot = self._render_chunk_wave(
-                    params, bitfield, xf_s, xf_e, rsh, bg, kc,
-                    c * eff_chunk, jit_on, jnp.float32(fx),
-                    jnp.float32(fy), eff_chunk, W, H, motion)
-                part += np.asarray(
-                    jnp.concatenate([rgb, opac[:, None]], -1)) / n_spp
-                self.last_wave_samples += int(np.asarray(tot))
-            acc[c * eff_chunk:(c + 1) * eff_chunk] = part
-        return acc
+        fxj, fyj = jnp.float32(fx), jnp.float32(fy)
+
+        def start(k):
+            c, s = divmod(k, n_spp)
+            kc = jax.random.fold_in(key, s * 4096 + c)
+            jit_on = jnp.asarray(not snap) & (s > 0)
+            return self._wave_start(params, bitfield, xf_s, xf_e, rsh,
+                                    bg, kc, c * eff_chunk, jit_on, fxj,
+                                    fyj, eff_chunk, W, H, motion)
+
+        n_items = n_chunks * n_spp
+        parts = [None] * n_chunks
+        totals = []
+        st = start(0) if n_items else None
+        for k in range(n_items):
+            nxt = start(k + 1) if k + 1 < n_items else None
+            rgb, opac, tot = self._wave_finish(params, st, eff_chunk,
+                                               W, H, motion)
+            st = nxt
+            c = k // n_spp
+            rgba = jnp.concatenate([rgb, opac[:, None]], -1) / n_spp
+            parts[c] = rgba if parts[c] is None else parts[c] + rgba
+            totals.append(tot)
+        if totals:
+            self.last_wave_samples = int(np.asarray(
+                jnp.sum(jnp.stack(totals))))
+        return np.concatenate([np.asarray(p) for p in parts], axis=0)
 
     def _slice_mode(self, params, o, d, xf, bg, n_rays):
         """SLICE: evaluate rgbσ on the plane through the scene center

@@ -133,6 +133,26 @@ class BlockedGridMeta:
         return tuple(b ** self.n_dims <= self.rows
                      for b in self.level_blocks_per_dim)
 
+    @functools.cached_property
+    def level_needed_rows(self) -> Tuple[int, ...]:
+        """Rows the one-hot selection must actually scan per level: dense
+        levels address blocks^D raster rows (< rows), hashed levels the
+        full table. The kernel groups levels by this to shrink the
+        selection matmul (cost is linear in scanned rows); the STORED
+        table stays uniform (L, rows, 128) so snapshots are unaffected.
+        Min 8 keeps the (rows, 128) f32 block sublane-aligned."""
+        out = []
+        for l in range(self.n_levels):
+            if self.level_is_dense[l]:
+                need = 1 << max(
+                    3, int(math.ceil(math.log2(
+                        max(self.level_blocks_per_dim[l] ** self.n_dims,
+                            1)))))
+                out.append(min(need, self.rows))
+            else:
+                out.append(self.rows)
+        return tuple(out)
+
     @property
     def total_rows(self) -> int:
         return self.n_levels * self.rows

@@ -82,10 +82,10 @@ def _weights_from_frac(frac_cols, bits, used):
     return w
 
 
-def _fwd_kernel(rows_ref, frac_ref, table_ref, out_ref, *, meta, tile):
+def _fwd_kernel(rows_ref, frac_ref, table_ref, out_ref, *, meta, tile, rows):
     D = meta.n_dims
     lane_off, bits, used = _corner_masks(D, tile)
-    R = meta.rows
+    R = rows
 
     rows = rows_ref[0, 0, :].reshape(tile, 1)                  # (T, 1) int32
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
@@ -107,12 +107,13 @@ def _fwd_kernel(rows_ref, frac_ref, table_ref, out_ref, *, meta, tile):
     out_ref[0, 1, :] = f1
 
 
-def _bwd_table_kernel(rows_ref, frac_ref, g_ref, dtable_ref, *, meta, tile):
+def _bwd_table_kernel(rows_ref, frac_ref, g_ref, dtable_ref, *, meta, tile,
+                      rows):
     """dTable = one-hotᵀ · dRows — needs NO forward recompute: dA is built
     purely from the incoming gradient and the trilinear weights."""
     D = meta.n_dims
     lane_off, bits, used = _corner_masks(D, tile)
-    R = meta.rows
+    R = rows
 
     rows = rows_ref[0, 0, :].reshape(tile, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
@@ -154,14 +155,14 @@ def _bwd_table_kernel(rows_ref, frac_ref, g_ref, dtable_ref, *, meta, tile):
 
 
 def _bwd_frac_kernel(rows_ref, frac_ref, table_ref, g_ref, dfrac_ref,
-                     *, meta, tile):
+                     *, meta, tile, rows):
     """Position (fraction) gradients — needs the forward corner values, so
     it recomputes the selection matmul. Split into its OWN pallas_call so
     XLA dead-code-eliminates it whenever position gradients are unused
     (camera optimization off — the default training path)."""
     D = meta.n_dims
     lane_off, bits, used = _corner_masks(D, tile)
-    R = meta.rows
+    R = rows
 
     rows = rows_ref[0, 0, :].reshape(tile, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
@@ -199,6 +200,21 @@ def _pad_to(x, n, axis):
     return jnp.pad(x, pad) if n != x.shape[axis] else x
 
 
+def _level_groups(meta: BlockedGridMeta):
+    """Levels grouped by the selection width the one-hot must scan
+    (meta.level_needed_rows): coarse dense levels address far fewer rows
+    than the stored table width, and selection cost is linear in scanned
+    rows. Returns [(rows_n, np.array(level_ids))], plus the inverse
+    permutation that restores level order after per-group concat."""
+    groups: dict = {}
+    for l, rn in enumerate(meta.level_needed_rows):
+        groups.setdefault(rn, []).append(l)
+    items = sorted(groups.items())
+    order = [l for _, lvls in items for l in lvls]
+    inv = np.argsort(np.asarray(order))
+    return [(rn, np.asarray(lvls)) for rn, lvls in items], inv
+
+
 def _geometry(meta: BlockedGridMeta, pos: jax.Array, tile: int):
     """XLA-side geometry: padded (rows+base_lane) and frac arrays."""
     side, _ = _block_geom(meta.n_dims)
@@ -222,26 +238,33 @@ def blocked_grid_encode(table, pos, meta: BlockedGridMeta,
 
 def _encode_fwd_impl(table, pos, meta, tile):
     tile = _eff_tile(pos.shape[0], tile)
-    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    L, D = meta.n_levels, meta.n_dims
     ri, fr, N, Np = _geometry(meta, pos, tile)
     n_tiles = Np // tile
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, meta=meta, tile=tile),
-        grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, 2, Np), jnp.float32),
-        compiler_params=_compiler_params(),
-    )(ri, fr, table)
+    groups, inv = _level_groups(meta)
+    parts = []
+    for R, lvls in groups:
+        Lg = len(lvls)
+        idx = jnp.asarray(lvls)
+        parts.append(pl.pallas_call(
+            functools.partial(_fwd_kernel, meta=meta, tile=tile, rows=R),
+            grid=(Lg, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lg, 2, Np), jnp.float32),
+            compiler_params=_compiler_params(),
+        )(ri[idx], fr[idx], table[idx, :R]))
+    out = parts[0] if len(parts) == 1 else \
+        jnp.concatenate(parts, axis=0)[jnp.asarray(inv)]
     feats = out[:, :, :N]                                      # (L, 2, N)
     # keep the (cheap to store, ~80 MB at NeRF batch) geometry as residuals
     # so the bwd pass doesn't recompute lookup_geometry on 4M points
@@ -257,47 +280,63 @@ def _encode_fwd(table, pos, meta, tile):
 def _encode_bwd(meta, tile, residuals, g):
     table, pos_stub, ri, fr = residuals
     tile = _eff_tile(g.shape[0], tile)
-    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    L, D = meta.n_levels, meta.n_dims
     N, Np = g.shape[0], ri.shape[2]
     n_tiles = Np // tile
     gT = g.reshape(N, L, 2).transpose(1, 2, 0)                 # (L, 2, N)
     gT = _pad_to(gT, Np, 2)
 
-    dtable = pl.pallas_call(
-        functools.partial(_bwd_table_kernel, meta=meta, tile=tile),
-        grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
-        compiler_params=_compiler_params(),
-    )(ri, fr, gT)
+    groups, inv = _level_groups(meta)
+    dt_parts, df_parts = [], []
+    for R, lvls in groups:
+        Lg = len(lvls)
+        idx = jnp.asarray(lvls)
+        dt = pl.pallas_call(
+            functools.partial(_bwd_table_kernel, meta=meta, tile=tile,
+                              rows=R),
+            grid=(Lg, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lg, R, LANES), jnp.float32),
+            compiler_params=_compiler_params(),
+        )(ri[idx], fr[idx], gT[idx])
+        # untouched rows of dense levels carry zero grad
+        dt_parts.append(_pad_to(dt, meta.rows, 1))
 
-    dfrac = pl.pallas_call(
-        functools.partial(_bwd_frac_kernel, meta=meta, tile=tile),
-        grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
-        compiler_params=_compiler_params(),
-    )(ri, fr, table, gT)
+        df_parts.append(pl.pallas_call(
+            functools.partial(_bwd_frac_kernel, meta=meta, tile=tile,
+                              rows=R),
+            grid=(Lg, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lg, D, Np), jnp.float32),
+            compiler_params=_compiler_params(),
+        )(ri[idx], fr[idx], table[idx, :R], gT[idx]))
+
+    if len(groups) == 1:
+        dtable, dfrac = dt_parts[0], df_parts[0]
+    else:
+        inv_j = jnp.asarray(inv)
+        dtable = jnp.concatenate(dt_parts, axis=0)[inv_j]
+        dfrac = jnp.concatenate(df_parts, axis=0)[inv_j]
 
     # chain dfrac → dpos: frac = pos·scale + 0.5 - floor(...)
     scales = jnp.asarray(meta.level_scales, jnp.float32)
@@ -313,14 +352,14 @@ blocked_grid_encode.defvjp(_encode_fwd, _encode_bwd)
 # --------------------------------------------------------------------------
 
 def _fwd_kernel_i8(rows_ref, frac_ref, table_ref, scale_ref, out_ref,
-                   *, meta, tile):
+                   *, meta, tile, rows):
     """Forward with an int8-quantized table (per-LEVEL scale): the
     selection matmul runs at the MXU's int8 rate. Exactness: the one-hot
     is 0/1 int8, so the int32 accumulator reproduces the quantized row
     exactly; the only error is the table quantization itself."""
     D = meta.n_dims
     lane_off, bits, used = _corner_masks(D, tile)
-    R = meta.rows
+    R = rows
 
     rows = rows_ref[0, 0, :].reshape(tile, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
@@ -342,13 +381,13 @@ def _fwd_kernel_i8(rows_ref, frac_ref, table_ref, scale_ref, out_ref,
 
 
 def _bwd_table_kernel_i8(rows_ref, frac_ref, g_ref, dtable_ref,
-                         *, meta, tile):
+                         *, meta, tile, rows):
     """dTable via int8 MXU: quantize this tile's dA with a per-tile
     scale (stochastic-free round; gradients are noisy anyway), multiply
     int8×int8 → int32, rescale, accumulate f32."""
     D = meta.n_dims
     lane_off, bits, used = _corner_masks(D, tile)
-    R = meta.rows
+    R = rows
 
     rows = rows_ref[0, 0, :].reshape(tile, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (tile, R), 1)
@@ -399,7 +438,7 @@ def blocked_grid_encode_int8(table, pos, meta: BlockedGridMeta,
 
 def _encode_fwd_impl_i8(table, pos, meta, tile):
     tile = _eff_tile(pos.shape[0], tile)
-    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    L, D = meta.n_levels, meta.n_dims
     ri, fr, N, Np = _geometry(meta, pos, tile)
     n_tiles = Np // tile
 
@@ -409,24 +448,32 @@ def _encode_fwd_impl_i8(table, pos, meta, tile):
                   -127, 127).astype(jnp.int8)
     scales2d = scales[:, None]                                 # SMEM (1,1)
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel_i8, meta=meta, tile=tile),
-        grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1), lambda l, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, 2, Np), jnp.float32),
-        compiler_params=_compiler_params(),
-    )(ri, fr, tq, scales2d)
+    groups, inv = _level_groups(meta)
+    parts = []
+    for R, lvls in groups:
+        Lg = len(lvls)
+        idx = jnp.asarray(lvls)
+        parts.append(pl.pallas_call(
+            functools.partial(_fwd_kernel_i8, meta=meta, tile=tile,
+                              rows=R),
+            grid=(Lg, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Lg, 1), lambda l, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lg, 2, Np), jnp.float32),
+            compiler_params=_compiler_params(),
+        )(ri[idx], fr[idx], tq[idx, :R], scales2d[idx]))
+    out = parts[0] if len(parts) == 1 else \
+        jnp.concatenate(parts, axis=0)[jnp.asarray(inv)]
     feats = out[:, :, :N]
     pos_stub = jnp.zeros((0,), pos.dtype)
     return feats.transpose(2, 0, 1).reshape(N, L * 2), \
@@ -440,48 +487,63 @@ def _encode_fwd_i8(table, pos, meta, tile):
 def _encode_bwd_i8(meta, tile, residuals, g):
     table, pos_stub, ri, fr = residuals
     tile = _eff_tile(g.shape[0], tile)
-    L, R, D = meta.n_levels, meta.rows, meta.n_dims
+    L, D = meta.n_levels, meta.n_dims
     N, Np = g.shape[0], ri.shape[2]
     n_tiles = Np // tile
     gT = g.reshape(N, L, 2).transpose(1, 2, 0)
     gT = _pad_to(gT, Np, 2)
 
-    dtable = pl.pallas_call(
-        functools.partial(_bwd_table_kernel_i8, meta=meta, tile=tile),
-        grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.float32),
-        compiler_params=_compiler_params(),
-    )(ri, fr, gT)
+    groups, inv = _level_groups(meta)
+    dt_parts, df_parts = [], []
+    for R, lvls in groups:
+        Lg = len(lvls)
+        idx = jnp.asarray(lvls)
+        dt = pl.pallas_call(
+            functools.partial(_bwd_table_kernel_i8, meta=meta, tile=tile,
+                              rows=R),
+            grid=(Lg, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lg, R, LANES), jnp.float32),
+            compiler_params=_compiler_params(),
+        )(ri[idx], fr[idx], gT[idx])
+        dt_parts.append(_pad_to(dt, meta.rows, 1))
 
-    # position grads: reuse the f32 dfrac kernel (DCE'd when unused)
-    dfrac = pl.pallas_call(
-        functools.partial(_bwd_frac_kernel, meta=meta, tile=tile),
-        grid=(L, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, D, Np), jnp.float32),
-        compiler_params=_compiler_params(),
-    )(ri, fr, table, gT)
+        # position grads: reuse the f32 dfrac kernel (DCE'd when unused)
+        df_parts.append(pl.pallas_call(
+            functools.partial(_bwd_frac_kernel, meta=meta, tile=tile,
+                              rows=R),
+            grid=(Lg, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R, LANES), lambda l, t: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, tile), lambda l, t: (l, 0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, D, tile), lambda l, t: (l, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Lg, D, Np), jnp.float32),
+            compiler_params=_compiler_params(),
+        )(ri[idx], fr[idx], table[idx, :R], gT[idx]))
+
+    if len(groups) == 1:
+        dtable, dfrac = dt_parts[0], df_parts[0]
+    else:
+        inv_j = jnp.asarray(inv)
+        dtable = jnp.concatenate(dt_parts, axis=0)[inv_j]
+        dfrac = jnp.concatenate(df_parts, axis=0)[inv_j]
 
     scales = jnp.asarray(meta.level_scales, jnp.float32)
     dpos = jnp.einsum("ldn,l->nd", dfrac[:, :, :N], scales)

@@ -46,6 +46,12 @@ class AdamConfig:
     # Ema wrapper (0 → disabled)
     ema_decay: float = 0.0
     loss_scale: float = 1.0
+    # tcnn Adam semantics: parameters whose gradient is EXACTLY zero this
+    # step are skipped entirely — no moment decay, no parameter motion.
+    # Crucial for the hash table, where each step touches only the rows
+    # its samples hit; vanilla Adam would keep moving untouched entries on
+    # stale momentum while their vhat denominators decay.
+    skip_zero_grad: bool = True
 
     @classmethod
     def from_config(cls, cfg: dict, loss_scale: float = 1.0) -> "AdamConfig":
@@ -123,15 +129,24 @@ def apply_update(
         matrix_mask = jax.tree.map(lambda _: True, params)
 
     def upd(p, g, m, v, is_matrix):
+        g_raw = g
         g = g.astype(jnp.float32) * inv_ls
         if cfg.l2_reg > 0.0 and is_matrix:
             g = g + cfg.l2_reg * p
-        m = b1 * m + (1.0 - b1) * g
-        v = b2 * v + (1.0 - b2) * g * g
-        mhat = m / bc1
-        vhat = v / bc2
-        new_p = p - lr * mhat / (jnp.sqrt(vhat) + cfg.epsilon)
-        return new_p, m, v
+        m_new = b1 * m + (1.0 - b1) * g
+        v_new = b2 * v + (1.0 - b2) * g * g
+        mhat = m_new / bc1
+        vhat = v_new / bc2
+        p_new = p - lr * mhat / (jnp.sqrt(vhat) + cfg.epsilon)
+        if cfg.skip_zero_grad and not is_matrix:
+            # tcnn: untouched entries (g == 0 exactly) freeze in place —
+            # applied to non-matrix params (hash table, envmap grids);
+            # MLP weight grads are never exactly zero
+            touched = g_raw != 0
+            p_new = jnp.where(touched, p_new, p)
+            m_new = jnp.where(touched, m_new, m)
+            v_new = jnp.where(touched, v_new, v)
+        return p_new, m_new, v_new
 
     flat_p, treedef = jax.tree.flatten(params)
     flat_g = treedef.flatten_up_to(grads)

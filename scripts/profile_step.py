@@ -159,6 +159,30 @@ def main():
     print(f"encode+MLP+composite fwd+bwd (S={S}): {dt_net*1e3:6.2f} ms",
           flush=True)
 
+    # phase 3a: pos-encode alone fwd+bwd (the selection kernel)
+    enc = tr.model.pos_encoding
+    s_pos_fix = jax.random.uniform(kk1, (S, 3))
+
+    ptbl = tr.params["pos_encoding"]
+
+    def do_enc(seed_f):
+        def f(t):
+            return jnp.sum(enc.apply(t, s_pos_fix + 1e-9 * seed_f) ** 2)
+        l, g = jax.value_and_grad(f)(ptbl)
+        return l + sum(jnp.sum(x) * 0.0 for x in jax.tree.leaves(g))
+    dt_enc = timed(scanner(do_enc, None), jnp.float32(1.0), k=args.k)
+    print(f"  encode alone fwd+bwd:            {dt_enc*1e3:8.2f} ms",
+          flush=True)
+
+    def do_enc_fwd(seed_f):
+        return jnp.sum(enc.apply(ptbl, s_pos_fix + 1e-9 * seed_f) ** 2)
+    dt_encf = timed(scanner(do_enc_fwd, None), jnp.float32(1.0), k=args.k)
+    print(f"  encode alone fwd:                {dt_encf*1e3:8.2f} ms",
+          flush=True)
+
+    print(f"  (MLP+composite ~= {(dt_net-dt_enc)*1e3:.2f} ms by subtraction)",
+          flush=True)
+
     # phase 4: full training step (jitted once, timed per dispatch since it
     # carries trainer state; k dispatches amortize the fetch)
     tr.train(1)

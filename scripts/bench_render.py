@@ -43,6 +43,11 @@ def main():
     p.add_argument("--grid_impl", default="blocked")
     p.add_argument("--wave", action="store_true",
                    help="live-sample wave path (dynamic block dispatch)")
+    p.add_argument("--multichip", type=int, default=0, metavar="N",
+                   help="also time render_multichip over an N-device mesh "
+                        "(frame-parallel pixel sharding; on the chip N=1 "
+                        "checks path overhead, on the virtual CPU mesh "
+                        "N=8 checks the sharded program)")
     args = p.parse_args()
     os.environ["NGP_TPU_GRID_IMPL"] = args.grid_impl
 
@@ -89,6 +94,38 @@ def main():
     print(f"{W}x{H} spp1: {dt * 1e3:.1f} ms/frame = {1.0 / dt:.2f} fps "
           f"(mean alpha {float(img[..., 3].mean()):.3f}){extra}",
           flush=True)
+
+    if args.multichip:
+        # Frame-parallel scale-out evidence: rendering has NO cross-device
+        # traffic until the final per-shard image gather (out_specs
+        # P('data')), so per-chip work is exactly total/N and fps scales
+        # ~linearly in chips over ICI. Time the sharded program and print
+        # the projection from the measured single-chip rate.
+        from ngp_tpu.dist.mesh import make_mesh
+        nd = args.multichip
+        mesh = make_mesh(n_data=nd, devices=jax.devices()[:nd])
+        t0 = time.time()
+        img_m = r.render_multichip(mesh, tr.params, grid.bitfield, xf,
+                                   W, H, focal=(fx, fx))
+        print(f"multichip({nd}) first frame (compile): "
+              f"{time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+        for i in range(max(args.frames // 2, 1)):
+            img_m = r.render_multichip(mesh, tr.params, grid.bitfield, xf,
+                                       W, H, focal=(fx, fx), seed=i)
+        dtm = (time.time() - t0) / max(args.frames // 2, 1)
+        err = float(np.abs(np.asarray(img_m) - np.asarray(img)).max()) \
+            if args.frames else 0.0
+        print(f"multichip({nd}) {W}x{H} spp1: {dtm * 1e3:.1f} ms/frame "
+              f"(vs single-path {dt * 1e3:.1f} ms; max|Δ| {err:.2e})",
+              flush=True)
+        px_s = W * H / dt
+        for target_fps in (30.0,):
+            need = target_fps * W * H / px_s
+            print(f"projection: {px_s / 1e3:.1f} k px/s/chip → "
+                  f"{need:.0f} chips for {W}x{H}@{target_fps:.0f}fps "
+                  f"(frame-parallel, no collectives in the hot path)",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -59,8 +59,14 @@ cfg = load_network_config("configs/nerf/base.json")
 # error-map importance sampling (ref default via transforms.json): the
 # measured round-4 lever that first crossed 30 dB from scratch
 # (30.03 dB @3072 steps vs 29.65 plain at equal steps)
+# dynamic_rays (round-4 session 3): static RMAX=4096 ray batch with a
+# TRACED live count (the reference's per-step rays_per_batch adaptation,
+# testbed_nerf.cu:2890-2891, with zero recompiles). Measured on the chip:
+# SAME 3.5 steps/s as fixed-1024 (the step is encode/S-bound, the larger
+# march lattice is ~free) and +1.5 dB at equal steps early
+# (27.1 vs 25.6 dB @528) — crossing 30 dB ~1.6x sooner.
 tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
-    n_rays=1024, adapt_rays=False,
+    n_rays=4096, adapt_rays=False, dynamic_rays=True,
     sample_image_proportional_to_error=True,
     sample_focal_plane_proportional_to_error=True))
 
@@ -98,11 +104,11 @@ eval_psnr()           # compile render path
 train_s = 0.0
 elapsed = None
 psnr = 0.0
-# finer chunks through the expected 30 dB crossing zone (the round-4 IS
-# run crossed at step ~3072): a 1024-step gap would record the crossing
-# up to ~300 s late
-for chunk in [64, 112, 128, 192, 256, 256, 512, 512, 512, 256, 256,
-              256, 256, 256, 256, 512, 512, 1024]:
+# finer chunks through the expected 30 dB crossing zone (the round-4
+# dynamic-rays run tracks ~29.5 dB at step ~1800): a 1024-step gap would
+# record the crossing up to ~300 s late
+for chunk in [64, 112, 128, 192, 256, 256, 512, 256, 256, 256,
+              256, 256, 256, 512, 512, 1024]:
     t0 = time.time()
     tr.train(chunk)
     train_s += time.time() - t0

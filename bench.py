@@ -64,7 +64,9 @@ cfg = load_network_config("configs/nerf/base.json")
 # testbed_nerf.cu:2890-2891, with zero recompiles). Measured on the chip:
 # SAME 3.5 steps/s as fixed-1024 (the step is encode/S-bound, the larger
 # march lattice is ~free) and +1.5 dB at equal steps early
-# (27.1 vs 25.6 dB @528) — crossing 30 dB ~1.6x sooner.
+# (27.1 vs 25.6 dB @528); trajectories merge by ~2800 steps, so the
+# wall-clock win is modest (~970 s vs 1101 s, ~1.1x) — adopted for the
+# early-phase gain and zero-recompile adaptation.
 tr = NerfTrainer(ds, cfg, tcfg=NerfTrainerConfig(
     n_rays=4096, adapt_rays=False, dynamic_rays=True,
     sample_image_proportional_to_error=True,

@@ -284,18 +284,19 @@ class MultiNerfRenderer:
 
     def __init__(self, march_steps: int = 512, chunk: int = 1 << 13,
                  samples_per_ray: int = 32, march_segments: int = 8,
-                 composite_mode: str = "sum"):
+                 composite_mode: str = "nearest"):
         self.fields: dict[str, NeuralRadianceField] = {}
         self.march_steps = march_steps
         self.chunk = chunk
         self.samples_per_ray = samples_per_ray   # per-proxy cap PER SEGMENT
         self.march_segments = march_segments
-        # Overlapping-proxy semantics. "sum" (default): densities of all
-        # active proxies superpose at each lattice point — physically a
-        # mixture of participating media. "nearest": the reference's
-        # per-step proxy culling (only the proxy whose next sample is
-        # nearest the camera composites each step,
-        # ref: cull_global_rays_..._kernel src/nerf_renderer.cu:376-428);
+        # Overlapping-proxy semantics. "nearest" (DEFAULT, matching the
+        # reference's per-step proxy culling: only the proxy whose next
+        # sample is nearest the camera composites each step,
+        # ref: cull_global_rays_..._kernel src/nerf_renderer.cu:376-428).
+        # "sum" (opt-in): densities of all active proxies superpose at
+        # each lattice point — physically a mixture of participating
+        # media.
         # on the shared world lattice every active proxy's "next sample"
         # is the same point, so the cull degenerates to its tie-break —
         # first alive proxy wins — i.e. exclusive descriptor-order

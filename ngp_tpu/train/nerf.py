@@ -48,6 +48,13 @@ from ngp_tpu.rays.marching import (calc_dt, compact_samples, cone_angle_for,
 SHARPNESS_RES = 64  # per-image sharpness-map resolution
 
 
+def _check_numerics() -> bool:
+    """Opt-in numerics guard (SURVEY §5; see NerfTrainer._fetch_stats).
+    Read at call time (per-boundary cadence) so tests can toggle it."""
+    import os
+    return os.environ.get("NGP_TPU_CHECK_NUMERICS", "0") == "1"
+
+
 def _sharpness_maps(dataset) -> np.ndarray:
     """(I, S, S) local sharpness per image: mean squared 4-neighbor
     Laplacian of luminance over tiles (the metric the reference's loader
@@ -879,6 +886,19 @@ class NerfTrainer:
         (ref: NerfCounters::update_after_training)."""
         tc = self.tcfg
         loss = float(loss_dev)
+        if _check_numerics():
+            # opt-in divergence guard (NGP_TPU_CHECK_NUMERICS=1): the
+            # round-3 f32-cumsum overflow produced NaN renders that took a
+            # day to trace by eye; this turns that class of failure into a
+            # one-line diagnosis at the next stats fetch (per-boundary
+            # cadence — zero cost in the hot jit).
+            if not math.isfinite(loss):
+                from ngp_tpu.utils.debug import find_nonfinite
+                bad = find_nonfinite(self.params, "params")
+                bad += find_nonfinite(self.cam_params, "cam_params")
+                raise FloatingPointError(
+                    f"non-finite loss {loss} at step {self.training_step}"
+                    f"; non-finite state leaves: {bad or 'none (loss only)'}")
         self.last_loss = loss
         measured = int(measured_dev)
         segs = int(segs_dev)

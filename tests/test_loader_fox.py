@@ -3,6 +3,8 @@ world-mapping overrides) — the bugs these lock down cost hours."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def fox():

@@ -3,6 +3,7 @@ vs a direct per-ray reference, Morton codes, mip selection."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ngp_tpu.common import (MAX_CONE_STEPSIZE, MIN_CONE_STEPSIZE,
                             NERF_GRIDSIZE)
@@ -46,6 +47,7 @@ def test_mip_from_pos():
     np.testing.assert_array_equal(mips, [0, 0, 1, 2])
 
 
+@pytest.mark.smoke
 def test_compaction_preserves_ray_major_order():
     R, K = 4, 8
     rng = np.random.default_rng(0)
@@ -64,6 +66,7 @@ def test_compaction_preserves_ray_major_order():
     assert n == int(np.asarray(emit).sum())
 
 
+@pytest.mark.smoke
 def test_compaction_overflow_drops_suffix_rays():
     R, K = 4, 8
     emit = jnp.ones((R, K), bool)
@@ -106,6 +109,7 @@ def test_composite_matches_reference_math():
                                    atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_occupancy_bitfield_lookup():
     from ngp_tpu.grid.occupancy import (OccupancyGrid, init_grid,
                                         rebuild_bitfield, occupied_at,

@@ -81,15 +81,18 @@ def test_render_request_roundtrip(tmp_path):
     # composite-mode A/B (ref nearest-proxy cull, nerf_renderer.cu:376-428):
     # two IDENTICAL overlapping proxies at opacity 0.5. "sum" superposes
     # their densities (0.5σ + 0.5σ = σ → as opaque as one full proxy);
-    # "nearest" lets the first proxy claim each lattice point exclusively
-    # (→ identical to rendering a single proxy at opacity 0.5).
+    # "nearest" (the DEFAULT, matching reference semantics) lets the first
+    # proxy claim each lattice point exclusively (→ identical to rendering
+    # a single proxy at opacity 0.5).
+    assert r.composite_mode == "nearest", "ref semantics must be default"
     half2 = [NerfDescriptor(snapshot_path=str(snap), opacity=0.5),
              NerfDescriptor(snapshot_path=str(snap), opacity=0.5)]
     req_ab = RenderRequest(output=out, camera=cam, nerfs=half2)
-    img_sum = r.render(req_ab)
-    rn = MultiNerfRenderer(march_steps=1024, chunk=1 << 10,
-                           composite_mode="nearest")
-    rn.fields = r.fields          # share loaded fields (same snapshot)
+    rs = MultiNerfRenderer(march_steps=1024, chunk=1 << 10,
+                           composite_mode="sum")
+    rs.fields = r.fields          # share loaded fields (same snapshot)
+    img_sum = rs.render(req_ab)
+    rn = r                        # default renderer IS the nearest path
     img_near = rn.render(req_ab)
     img_half = rn.render(RenderRequest(
         output=out, camera=cam,

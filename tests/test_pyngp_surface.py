@@ -78,6 +78,7 @@ def test_bounding_box_surface():
         assert callable(getattr(bb, m, None)), m
     assert bb.get_vertices().shape == (8, 3)
 
+@pytest.mark.smoke
 def test_full_reference_surface_coverage():
     """EVERY name bound on the reference Testbed class (parsed from
     python_api.cu) must exist on the shim — GUI names included (headless

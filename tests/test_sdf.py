@@ -54,6 +54,7 @@ def test_mesh_normalization():
     assert (v.max(0) - v.min(0)).max() < 1.0
 
 
+@pytest.mark.smoke
 def test_sdf_trainer_learns_cube(tmp_path):
     import jax
     from ngp_tpu.config import load_network_config

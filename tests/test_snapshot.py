@@ -1,9 +1,11 @@
 """Snapshot round-trip: params, EMA, density grid, config."""
 import numpy as np
+import pytest
 
 from ngp_tpu.io.snapshot import load_snapshot, save_snapshot
 
 
+@pytest.mark.smoke
 def test_roundtrip(tmp_path):
     params = {"net": (np.random.rand(4, 8).astype(np.float32),
                       np.random.rand(8, 3).astype(np.float32)),

@@ -63,7 +63,7 @@ def make_tp_blocked_encode(meta, mesh: Mesh, data_sharded: bool = True):
     Returns encode(table_sharded, pos) → (N, L·F). ``data_sharded`` also
     shards the sample axis over ``data`` (DP×TP).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from ngp_tpu.kernels.blocked_grid import (corner_lanes_and_weights,
                                               lookup_geometry)
     import jax.numpy as jnp
@@ -94,7 +94,7 @@ def make_tp_blocked_encode(meta, mesh: Mesh, data_sharded: bool = True):
     out_spec = P("data") if data_sharded else P()
     return shard_map(shard_fn, mesh=mesh,
                      in_specs=(P(None, "model", None), pos_spec),
-                     out_specs=out_spec, check_rep=False)
+                     out_specs=out_spec, check_vma=False)
 
 
 def shard_params(params, mesh: Mesh, shard_tables: bool = False):

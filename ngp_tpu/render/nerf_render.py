@@ -787,7 +787,7 @@ class NerfRenderer:
         rate, so the pod-scale path is frame slicing over ICI; SURVEY
         §2.10). Chunk keys match ``render``'s, so a 1-device mesh
         reproduces the single-chip image exactly."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         opts = self.opts
@@ -824,7 +824,7 @@ class NerfRenderer:
         fn = jax.jit(shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P(), P("data")),
-            out_specs=P("data"), check_rep=False))
+            out_specs=P("data"), check_vma=False))
         xf = jnp.asarray(camera_matrix, jnp.float32)
         with mesh:
             ys = fn(params, bitfield, xf, xf,

@@ -954,6 +954,48 @@ class NerfTrainer:
                 self._capacity = int(want)
         return loss
 
+    def _build_chunk(self, n_rays: int, T: int, with_grid_update: bool,
+                     full_sweep: bool, capacity: int, axis_name=None):
+        """Python chunk body shared by the single-device and DP paths
+        (jitted by ``_chunk_fn``; wrapped in shard_map by
+        ``dist.nerf_dp.DpNerfTrainer._chunk_fn``). With ``axis_name`` set
+        the grid update runs on the PRE-FOLD key (identical on every
+        device → replicated grid state) and only the ray-sampling stream
+        is device-distinct."""
+        dynamic = self.tcfg.dynamic_rays
+
+        def chunk(params, opt_state, cam, cam_m, cam_v, error_map,
+                  sharp_grid, err_state, grid, key, data, n_live=None):
+            if with_grid_update:
+                key, kg = jax.random.split(key)
+                grid = self._grid_update_impl(params, grid, kg,
+                                              full_sweep=full_sweep)
+                if self._use_sharpness:
+                    sharp_grid = sharp_grid * self.tcfg.density_grid_decay
+            if axis_name is not None:
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(axis_name))
+
+            def body(c, _):
+                p, o, cm, m, v, em, sg, k = c
+                p, o, cm, m, v, em, sg, stats, k = self._train_step_impl(
+                    p, o, cm, m, v, em, sg, err_state, grid.bitfield,
+                    grid.coarse, grid.mean, k, data, n_rays=n_rays,
+                    capacity=capacity or None, axis_name=axis_name,
+                    n_live=n_live if dynamic else None)
+                return (p, o, cm, m, v, em, sg, k), \
+                    (stats.loss, stats.measured_samples_uncompacted,
+                     stats.surviving_segments)
+            c0 = (params, opt_state, cam, cam_m, cam_v, error_map,
+                  sharp_grid, key)
+            c, (losses, measured, segs) = jax.lax.scan(body, c0, None,
+                                                       length=T)
+            return c + (grid, losses.mean(), measured[-1], segs[-1])
+
+        if not dynamic:
+            chunk = functools.partial(chunk, n_live=None)
+        return chunk
+
     def _chunk_fn(self, n_rays: int, T: int, with_grid_update: bool = False,
                   full_sweep: bool = False, capacity: int = 0):
         """jit'd scan of T training steps — ONE dispatch per chunk. The
@@ -967,36 +1009,8 @@ class NerfTrainer:
         fn = self._chunk_fns.get(key_)
         if fn is not None:
             return fn
-
-        dynamic = self.tcfg.dynamic_rays
-
-        def chunk(params, opt_state, cam, cam_m, cam_v, error_map,
-                  sharp_grid, err_state, grid, key, data, n_live=None):
-            if with_grid_update:
-                key, kg = jax.random.split(key)
-                grid = self._grid_update_impl(params, grid, kg,
-                                              full_sweep=full_sweep)
-                if self._use_sharpness:
-                    sharp_grid = sharp_grid * self.tcfg.density_grid_decay
-
-            def body(c, _):
-                p, o, cm, m, v, em, sg, k = c
-                p, o, cm, m, v, em, sg, stats, k = self._train_step_impl(
-                    p, o, cm, m, v, em, sg, err_state, grid.bitfield,
-                    grid.coarse, grid.mean, k, data, n_rays=n_rays,
-                    capacity=capacity or None,
-                    n_live=n_live if dynamic else None)
-                return (p, o, cm, m, v, em, sg, k), \
-                    (stats.loss, stats.measured_samples_uncompacted,
-                     stats.surviving_segments)
-            c0 = (params, opt_state, cam, cam_m, cam_v, error_map,
-                  sharp_grid, key)
-            c, (losses, measured, segs) = jax.lax.scan(body, c0, None,
-                                                       length=T)
-            return c + (grid, losses.mean(), measured[-1], segs[-1])
-
-        if not dynamic:
-            chunk = functools.partial(chunk, n_live=None)
+        chunk = self._build_chunk(n_rays, T, with_grid_update, full_sweep,
+                                  capacity)
         fn = jax.jit(chunk, donate_argnums=(0, 1, 2, 3, 4, 5, 6, 8))
         self._chunk_fns[key_] = fn
         return fn

@@ -99,6 +99,19 @@ class RenderOptions:
     # the exotic render modes (Slice/EncodingVis/Normals/…).
     wave: bool = False
     wave_cap: int = 64            # per-ray samples per segment (decimated)
+    # Fused wave (round-5, DEFAULT): collapse the per-chunk segment loop
+    # into ONE compact→eval→composite dispatch over the whole ray
+    # (per-ray cap = wave_cap × march_segments). Rationale, from the
+    # round-4 chip profile: in "bulk" sync the per-segment bucket bound
+    # is transmittance-FREE, so 4 segment bodies already evaluate the
+    # network on exactly the same sample total as one fused body — the
+    # segmentation buys nothing but 4× the dispatches, 4× the pow2
+    # bucket padding, and 4× the lattice-sized merge/compact overhead
+    # (measured: 10.36 s/frame at 640×360 vs the ~1 s the live-sample
+    # total implies). Early-out only helps the "exact" sync mode, which
+    # pays a blocking tunnel sync per segment. Fused = one march + one
+    # count + one body per chunk. Set False to restore segmented waves.
+    wave_fused: bool = True
     # "bulk": ONE count dispatch + ONE host sync per chunk — per-segment
     # stream buckets are sized from the transmittance-free upper bound
     # Σ_rays min(live_r, cap). "exact": one count+sync per SEGMENT with
@@ -410,6 +423,19 @@ class NerfRenderer:
             c = self._wave_fns = {}
         return c
 
+    def _wave_layout(self):
+        """(nseg, seg_len, per_ray_cap) for the wave path. Fused mode
+        (``wave_fused``) collapses the segment loop to one body per chunk
+        with the whole-ray cap; segmented mode keeps march_segments
+        bodies with the per-segment cap."""
+        o = self.opts
+        if o.wave_fused:
+            cap = min(o.wave_cap * max(o.march_segments, 1),
+                      o.march_steps)
+            return 1, o.march_steps, cap
+        nseg = max(o.march_segments, 1)
+        return nseg, o.march_steps // nseg, o.wave_cap
+
     def _wave_march_fn(self, n_rays, W, H, motion, impl="flat"):
         """March a pixel chunk: rays + full lattice + occupancy filter
         (+ crop + per-ray background) in ONE dispatch. ``impl="hier"``
@@ -470,20 +496,18 @@ class NerfRenderer:
         samples. The count crosses to the host and picks the bucket the
         fused body compiles at (one tunnel roundtrip per segment)."""
         cache = self._wave_cache()
-        key_ = ("count", n_rays, si)
+        nseg, seg_len, cap = self._wave_layout()
+        key_ = ("count", n_rays, si, nseg, cap)
         if key_ in cache:
             return cache[key_]
         opts = self.opts
-        nseg = max(opts.march_segments, 1)
-        seg_len = opts.march_steps // nseg
         sl = slice(si * seg_len, (si + 1) * seg_len)
 
         @jax.jit
         def run(t, dt, emit, logT):
             alive = jnp.exp(-logT) > opts.min_transmittance
             emit_s = emit[:, sl] & alive[:, None]
-            emit_m, _ = merge_excess_samples(emit_s, dt[:, sl],
-                                             opts.wave_cap)
+            emit_m, _ = merge_excess_samples(emit_s, dt[:, sl], cap)
             return emit_m.sum()
 
         cache[key_] = run
@@ -497,18 +521,16 @@ class NerfRenderer:
         the exact post-early-out total: per ray, the filtered+merged
         count is ≤ min(live_r, cap).)"""
         cache = self._wave_cache()
-        key_ = ("countall", n_rays)
+        nseg, seg_len, cap = self._wave_layout()
+        key_ = ("countall", n_rays, nseg, cap)
         if key_ in cache:
             return cache[key_]
-        opts = self.opts
-        nseg = max(opts.march_segments, 1)
-        seg_len = opts.march_steps // nseg
 
         @jax.jit
         def run(emit):
             c = emit.reshape(n_rays, nseg, seg_len).sum(
                 axis=-1, dtype=jnp.int32)                     # (R, nseg)
-            return jnp.minimum(c, opts.wave_cap).sum(axis=0)  # (nseg,)
+            return jnp.minimum(c, cap).sum(axis=0)            # (nseg,)
 
         cache[key_] = run
         return run
@@ -524,19 +546,18 @@ class NerfRenderer:
         across wave_sync modes. Everything scales with S, and XLA fuses
         the stream math into the MLP."""
         cache = self._wave_cache()
-        key_ = ("body", n_rays, S)
+        nseg, seg_len, cap = self._wave_layout()
+        key_ = ("body", n_rays, S, nseg, cap)
         if key_ in cache:
             return cache[key_]
         opts = self.opts
-        nseg = max(opts.march_segments, 1)
-        seg_len = opts.march_steps // nseg
 
         @jax.jit
         def run(params, o, d, t_seg, emit_seg, dt_seg, logT, rgb_acc,
                 depth_acc, cost_acc):
             alive = jnp.exp(-logT) > opts.min_transmittance
             emit_m, dt_m = merge_excess_samples(
-                emit_seg & alive[:, None], dt_seg, opts.wave_cap)
+                emit_seg & alive[:, None], dt_seg, cap)
             s_t, s_dt, s_ray, counts, offsets, fits, total, s_k = \
                 compact_samples(t_seg, dt_m, emit_m, n_rays, S)
             rid = jnp.clip(s_ray, 0, n_rays - 1)
@@ -602,8 +623,7 @@ class NerfRenderer:
         "exact" = one sync per SEGMENT (tighter buckets, more syncs)."""
         opts = self.opts
         mode = opts.render_mode
-        nseg = max(opts.march_segments, 1)
-        seg_len = opts.march_steps // nseg
+        nseg, seg_len, cap = self._wave_layout()
         (o, d, t, dt, emit, bg_ray, seg_total, counts, seg_cap,
          margs) = st
         logT = jnp.zeros((n_rays,))
@@ -611,7 +631,7 @@ class NerfRenderer:
         depth_acc = jnp.zeros((n_rays,))
         cost_acc = jnp.zeros((n_rays,))
         grand_total = 0
-        S_max = n_rays * opts.wave_cap
+        S_max = n_rays * cap
         bulk = opts.wave_sync == "bulk"
         if bulk:
             fetched = np.asarray(counts)
@@ -662,7 +682,8 @@ class NerfRenderer:
         return o.wave and o.render_mode in (
             RenderMode.SHADE, RenderMode.DEPTH, RenderMode.AO,
             RenderMode.COST) and o.glow_mode == 0 and \
-            o.march_steps % max(o.march_segments, 1) == 0
+            (o.wave_fused
+             or o.march_steps % max(o.march_segments, 1) == 0)
 
     def _render_wave(self, params, bitfield, xf_s, xf_e, rsh, bg, key,
                      eff_chunk, n_chunks, W, H, n_spp, fx, fy, motion):

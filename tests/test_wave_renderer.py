@@ -39,7 +39,7 @@ def test_wave_matches_static(mode_name, sync):
     r_static = NerfRenderer.for_trainer(tr, RenderOptions(
         samples_per_chunk_factor=32, **kw))
     r_wave = NerfRenderer.for_trainer(tr, RenderOptions(
-        wave=True, wave_cap=32, wave_sync=sync, **kw))
+        wave=True, wave_cap=32, wave_sync=sync, wave_fused=False, **kw))
     img_s = r_static.render(tr.params, bits, ds.xforms[0], 12, 12,
                             focal=(14., 14.))
     img_w = r_wave.render(tr.params, bits, ds.xforms[0], 12, 12,
@@ -84,7 +84,7 @@ def test_wave_spp_and_masks():
     r_s = NerfRenderer.for_trainer(tr, RenderOptions(
         samples_per_chunk_factor=32, **kw), masks=[mask])
     r_w = NerfRenderer.for_trainer(tr, RenderOptions(
-        wave=True, wave_cap=32, **kw), masks=[mask])
+        wave=True, wave_cap=32, wave_fused=False, **kw), masks=[mask])
     img_s = r_s.render(tr.params, bits, ds.xforms[0], 8, 8,
                        focal=(10., 10.), spp=2)
     img_w = r_w.render(tr.params, bits, ds.xforms[0], 8, 8,
@@ -109,7 +109,7 @@ def test_hier_march_matches_flat_on_sparse_grid():
     grid = occ.rebuild_bitfield(tr.grid._replace(density=dens),
                                 tr.max_cascade)
     kw = dict(width=12, height=12, march_steps=256, chunk=64, wave=True,
-              wave_cap=32, linear_out=False,
+              wave_cap=32, wave_fused=False, linear_out=False,
               background=(0.2, 0.1, 0.3, 0.0))
     img_flat = NerfRenderer.for_trainer(tr, RenderOptions(
         wave_march="flat", **kw)).render(
@@ -128,3 +128,48 @@ def test_hier_march_matches_flat_on_sparse_grid():
             wave_march="hier", wave_hier_frac=frac, **kw)).render(
             tr.params, bits_full, ds.xforms[0], 12, 12, focal=(14., 14.)))
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_fused_wave_matches_static_single_segment():
+    """wave_fused (the round-5 default: ONE compact+eval+composite body
+    per chunk) must match the static path with march_segments=1 at the
+    equal whole-ray cap bit-for-bit — the fusion removes dispatches and
+    bucket padding, not math."""
+    from ngp_tpu.common import RenderMode
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+
+    tr, ds, bits = _setup()
+    kw = dict(width=12, height=12, march_steps=256, chunk=64,
+              render_mode=RenderMode.SHADE, linear_out=False,
+              background=(0.2, 0.1, 0.3, 0.0))
+    r_static = NerfRenderer.for_trainer(tr, RenderOptions(
+        march_segments=1, samples_per_chunk_factor=128, **kw))
+    # wave_cap 32 x march_segments 4 = whole-ray cap 128
+    r_fused = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave=True, wave_cap=32, march_segments=4, wave_fused=True, **kw))
+    img_s = r_static.render(tr.params, bits, ds.xforms[0], 12, 12,
+                            focal=(14., 14.))
+    img_f = r_fused.render(tr.params, bits, ds.xforms[0], 12, 12,
+                           focal=(14., 14.))
+    assert np.isfinite(img_f).all()
+    np.testing.assert_allclose(img_f, img_s, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_wave_close_to_segmented():
+    """Fused and segmented waves differ only in decimation granularity +
+    early-out placement — images must agree closely on a normal scene."""
+    from ngp_tpu.common import RenderMode
+    from ngp_tpu.render.nerf_render import NerfRenderer, RenderOptions
+
+    tr, ds, bits = _setup()
+    kw = dict(width=12, height=12, march_steps=256, chunk=64,
+              march_segments=4, wave=True, wave_cap=32,
+              render_mode=RenderMode.SHADE, linear_out=False,
+              background=(0.2, 0.1, 0.3, 0.0))
+    img_seg = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave_fused=False, **kw)).render(
+        tr.params, bits, ds.xforms[0], 12, 12, focal=(14., 14.))
+    img_fus = NerfRenderer.for_trainer(tr, RenderOptions(
+        wave_fused=True, **kw)).render(
+        tr.params, bits, ds.xforms[0], 12, 12, focal=(14., 14.))
+    np.testing.assert_allclose(img_fus, img_seg, atol=5e-2)

@@ -25,17 +25,19 @@ def cone_angle_for(aabb_scale: int) -> float:
     return 1.0 / 256.0 if aabb_scale > 1 else 0.0
 
 
-def step_lattice(t0: jax.Array, cone_angle: float, n_steps: int) -> jax.Array:
-    """Closed form of k cone-steps from t0: (R,) → (R, K) sample times.
-
-    Phases of the recurrence t' = t + clamp(t·c, Δm, ΔM):
+def step_lattice_at(t0: jax.Array, k: jax.Array,
+                    cone_angle: float) -> jax.Array:
+    """Closed form of the k-th cone-step from t0 at ARBITRARY step
+    indices k (any broadcast-compatible shapes) — the recurrence
+    t' = t + clamp(t·c, Δm, ΔM) has a 3-phase closed form:
       linear  (t < Δm/c):  t_k = t0 + k·Δm
       geometric:           t_k = t_end_p1 · (1+c)^(k-n1)
       linear  (t ≥ ΔM/c):  t_k = t_end_p2 + (k-n1-n2)·ΔM
-    cone_angle == 0 → uniform Δm lattice.
-    """
-    k = jnp.arange(n_steps, dtype=jnp.float32)[None, :]   # (1, K)
-    t0 = t0[:, None]                                      # (R, 1)
+    cone_angle == 0 → uniform Δm lattice. Bit-identical to evaluating
+    the full (R, K) lattice and gathering — the wave2 renderer relies
+    on this to re-derive sample times on the compacted segment stream
+    instead of gathering them (XLA TPU gathers ≈ 0.1 G rows/s)."""
+    k = k.astype(jnp.float32)
     dm, dM = MIN_CONE_STEPSIZE, MAX_CONE_STEPSIZE
     if cone_angle <= 0.0:
         return t0 + k * dm
@@ -53,6 +55,13 @@ def step_lattice(t0: jax.Array, cone_angle: float, n_steps: int) -> jax.Array:
     t_geo = t_p1end * jnp.exp((k - n1) * ratio)
     t_top = t_p2end + (k - n1 - n2) * dM
     return jnp.where(in1, t_lin, jnp.where(in2, t_geo, t_top))
+
+
+def step_lattice(t0: jax.Array, cone_angle: float, n_steps: int) -> jax.Array:
+    """Closed form of k cone-steps from t0: (R,) → (R, K) sample times
+    (see step_lattice_at)."""
+    k = jnp.arange(n_steps, dtype=jnp.float32)[None, :]   # (1, K)
+    return step_lattice_at(t0[:, None], k, cone_angle)
 
 
 def march_rays(bitfield, o, d, key, n_rays: int, march_steps: int,
@@ -280,6 +289,74 @@ def march_rays_hier(bitfield, coarse, o, d, key, n_rays: int,
     emit = jnp.zeros((n_rays, K), bool).at[rid_sc, ks].set(
         emit_s, mode="drop")
     return t, dt, emit, seg_total
+
+
+def march_segment_stream(bitfield, coarse, o, d, n_rays: int,
+                         march_steps: int, cone_angle: float,
+                         max_cascade: int, aabb_min, aabb_size,
+                         seg_capacity: int, seg: int = 8,
+                         t_start_min: float = 0.0):
+    """Two-level march straight to a compacted SEGMENT stream — no (R, K)
+    lattice is ever materialized (the wave2 renderer's march).
+
+    Level 1 tests each ray's K/seg segment midpoints against the 16³
+    conservative coarse mask and compacts survivors to a static-capacity
+    stream of (ray, segment) pairs. Level 2 re-derives each surviving
+    segment's ``seg`` sample times CLOSED-FORM from (t0[ray], step index)
+    — zero lattice gathers — and runs the fine bitfield test on those
+    samples only. Occupancy gathers drop from R·K (flat) to
+    R·K/seg + S1·seg; the t/dt/inside gathers and the emit scatter-back
+    of march_rays_hier disappear entirely.
+
+    Returns (t0, tmax, seg_ray, seg_k, t_s, dt_s, emit_s, seg_total):
+      t0/tmax      (R,)        per-ray first sample time / AABB exit
+      seg_ray      (S1,)       ray id per stream slot (sentinel n_rays)
+      seg_k        (S1,)       segment index per slot
+      t_s/dt_s     (S1, seg)   sample times / base step sizes
+      emit_s       (S1, seg)   live-sample mask (fine occupancy ∧ inside)
+      seg_total    ()          surviving segments BEFORE compaction —
+                               > seg_capacity ⇒ tail segments were
+                               dropped (caller must detect + fall back)
+    """
+    K = march_steps
+    assert K % seg == 0
+    n_seg = K // seg
+    S1 = seg_capacity
+
+    tmin, tmax = ray_aabb_intersect(o, d, aabb_min, aabb_min + aabb_size)
+    tmin = jnp.maximum(tmin, t_start_min)
+    t0 = tmin
+
+    # level 1: coarse test at segment midpoints (closed-form times)
+    kf = jnp.arange(n_seg, dtype=jnp.int32)[None, :]
+    tm = step_lattice_at(t0[:, None], kf * seg + seg // 2, cone_angle)
+    dm = calc_dt(tm, cone_angle)
+    pos_m = o[:, None, :] + tm[..., None] * d[:, None, :]
+    mip_m = occ.mip_from_dt(dm.reshape(-1), pos_m.reshape(-1, 3),
+                            max_cascade)
+    occ_seg = occ.coarse_occupied_at(coarse, pos_m.reshape(-1, 3),
+                                     mip_m).reshape(n_rays, n_seg)
+    # a segment is inside iff its FIRST sample is (t increasing)
+    t_first = step_lattice_at(t0[:, None], kf * seg, cone_angle)
+    inside_seg = (t_first < tmax[:, None]) & (tmax > tmin)[:, None]
+    emit_seg = occ_seg & inside_seg
+    seg_total = emit_seg.sum()
+    _, _, seg_ray, _, _, _, _, seg_k = compact_samples(
+        tm, dm, emit_seg, n_rays, S1)
+    valid_seg = seg_ray < n_rays
+    rid0 = jnp.clip(seg_ray, 0, n_rays - 1)
+
+    # level 2: fine test on surviving segments, times re-derived in
+    # closed form (bit-identical to the lattice values)
+    ks = seg_k[:, None] * seg + jnp.arange(seg, dtype=jnp.int32)[None]
+    t_s = step_lattice_at(t0[rid0][:, None], ks, cone_angle)
+    dt_s = calc_dt(t_s, cone_angle)
+    pos_s = o[rid0][:, None, :] + t_s[..., None] * d[rid0][:, None, :]
+    flat = pos_s.reshape(-1, 3)
+    mip_s = occ.mip_from_dt(dt_s.reshape(-1), flat, max_cascade)
+    occ_s = occ.occupied_at(bitfield, flat, mip_s).reshape(t_s.shape)
+    emit_s = occ_s & (t_s < tmax[rid0][:, None]) & valid_seg[:, None]
+    return t0, tmax, seg_ray, seg_k, t_s, dt_s, emit_s, seg_total
 
 
 def march_and_compact_hier(bitfield, coarse, o, d, key, n_rays: int,

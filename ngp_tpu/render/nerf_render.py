@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ngp_tpu.common import RenderMode, TonemapCurve, srgb_to_linear
+from ngp_tpu.grid import occupancy as occupancy_mod
 from ngp_tpu.rays.camera import ray_aabb_intersect, xform_slerp
 from ngp_tpu.rays.marching import (compact_samples, composite_samples,
                                    march_rays, march_rays_hier,
@@ -126,6 +127,22 @@ class RenderOptions:
     # bound; overflow auto-falls back to flat for that chunk.
     wave_march: str = "hier"      # hier | flat
     wave_hier_frac: int = 8       # seg stream bound = R·n_seg/frac
+    # Wave dispatch strategy (round-5 rework). "device" (DEFAULT): the
+    # ENTIRE frame runs in one jitted scan per chunk group — march to a
+    # compacted segment stream (march_segment_stream: no (R,K) lattice,
+    # closed-form sample times), count live samples, and pick the
+    # power-of-2 stream bucket with lax.switch ON DEVICE — zero host
+    # syncs on the hot path (the round-4 host-synced wave lost ~9 s per
+    # 640×360 frame to tunnel roundtrips between dispatches: 12.6 s
+    # measured vs 3.6 s for the same dispatches queued back-to-back).
+    # "host": the round-4 path (per-chunk count fetch sizes the bucket).
+    # The reference's equivalent is its single-stream trace loop with one
+    # n_alive sync per 8-step round (ref: NerfTracer::trace,
+    # src/testbed_nerf.cu:2140-2267).
+    wave_dispatch: str = "device"
+    wave2_frac: int = 4           # device path: seg stream = R·n_seg/frac
+    wave2_top_bucket: int = 1 << 18   # largest switch branch; beyond it
+    # the per-ray cap is halved on device until the stream fits
 
 
 class NerfRenderer:
@@ -679,11 +696,309 @@ class NerfRenderer:
 
     def _wave_supported(self):
         o = self.opts
+        if o.wave_dispatch == "device":
+            return o.wave and o.render_mode in (
+                RenderMode.SHADE, RenderMode.DEPTH, RenderMode.AO,
+                RenderMode.COST) and o.glow_mode == 0 and \
+                o.march_steps % 8 == 0
         return o.wave and o.render_mode in (
             RenderMode.SHADE, RenderMode.DEPTH, RenderMode.AO,
             RenderMode.COST) and o.glow_mode == 0 and \
             (o.wave_fused
              or o.march_steps % max(o.march_segments, 1) == 0)
+
+    # ------------------------------------------------------------------
+    # wave2: fully device-dispatched wave rendering (round 5)
+    # ------------------------------------------------------------------
+
+    def _wave2_layout(self, n_rays, flat=False):
+        """Static layout of the device-dispatch wave: (seg, n_seg, S1,
+        cap, buckets, cand_caps). ``buckets`` are the lax.switch stream
+        capacities; ``cand_caps`` the halving per-ray caps the top bucket
+        may decimate to so the stream is GUARANTEED to fit. ``flat``:
+        the degenerate one-segment-per-ray layout (the stream IS the
+        (R, K) lattice — for scenes whose occupancy is too incoherent
+        for the 16³ coarse mask to cull anything)."""
+        opts = self.opts
+        K = opts.march_steps
+        if flat:
+            seg, n_seg, S1 = K, 1, n_rays
+            cap = min(opts.wave_cap * max(opts.march_segments, 1), K)
+            smax = n_rays * cap
+            top = min(max(opts.wave2_top_bucket, 4096),
+                      1 << (smax - 1).bit_length())
+            top_pow = (top - 1).bit_length() if top > 1 else 1
+            lo_pow = min(12, top_pow)
+            buckets = [1 << p for p in range(lo_pow, top_pow + 1)]
+            cands = [cap]
+            while n_rays * cands[-1] > buckets[-1] and cands[-1] > 1:
+                cands.append(max(cands[-1] // 2, 1))
+            return seg, n_seg, S1, cap, buckets, cands
+        seg = 8
+        n_seg = K // seg
+        S1 = max(n_rays * n_seg // max(opts.wave2_frac, 1), 256)
+        cap = min(opts.wave_cap * max(opts.march_segments, 1), K)
+        smax = n_rays * cap
+        top = min(max(opts.wave2_top_bucket, 4096), 1 << (smax - 1).bit_length())
+        top_pow = (top - 1).bit_length() if top > 1 else 1
+        lo_pow = min(12, top_pow)
+        buckets = [1 << p for p in range(lo_pow, top_pow + 1)]
+        cands = [cap]
+        while n_rays * cands[-1] > buckets[-1] and cands[-1] > 1:
+            cands.append(max(cands[-1] // 2, 1))
+        return seg, n_seg, S1, cap, buckets, cands
+
+    def _wave2_chunk_fn(self, n_rays, W, H, motion, flat=False):
+        """One pixel chunk, fully traced (usable inside scan): march to
+        the segment stream → per-ray decimation cap fitted on device →
+        lax.switch over power-of-2 stream buckets → fused network eval +
+        segmented composite on the stream. No (R, K) lattice, no host
+        syncs. Composite math matches the static path's (exclusive per-
+        ray optical-depth prefix via exact per-ray cumsums — here split
+        into an in-segment prefix on the (S1, seg) stream plus an inter-
+        segment per-ray prefix on an (R, n_seg) lattice, both
+        numerically-safe per-ray sums like exclusive_depth)."""
+        cache = self._wave_cache()
+        key_ = ("wave2", n_rays, W, H, motion, flat)
+        if key_ in cache:
+            return cache[key_]
+        opts = self.opts
+        mode = opts.render_mode
+        seg, n_seg, S1, cap, buckets, cands = self._wave2_layout(
+            n_rays, flat=flat)
+        has_crop = opts.render_aabb_min is not None
+        crop_min = jnp.asarray(opts.render_aabb_min or (0, 0, 0),
+                               jnp.float32)
+        crop_max = jnp.asarray(opts.render_aabb_max or (1, 1, 1),
+                               jnp.float32)
+        from ngp_tpu.rays.marching import march_rays, march_segment_stream
+
+        def run(params, bitfield, coarse, xf_s, xf_e, rsh, bg, key,
+                pix0, jitter_on, fx, fy):
+            o, d, _, _ = self._gen_rays(key, pix0, n_rays, W, H, fx, fy,
+                                        xf_s, xf_e, rsh, jitter_on,
+                                        motion)
+            if self.envmap_sampler is not None:
+                env = self.envmap_sampler(d)
+                bg_ray = env[:, :3] + bg[None, :3] * (1.0 - env[:, 3:4])
+            else:
+                bg_ray = jnp.broadcast_to(bg[None, :3], (n_rays, 3))
+
+            if flat:
+                # degenerate stream: one "segment" per ray = the (R, K)
+                # lattice; never overflows (S1 = n_rays holds every ray)
+                t_s, dt_s, emit_s = march_rays(
+                    bitfield, o, d, None, n_rays, opts.march_steps,
+                    self.cone_angle, self.max_cascade, self.aabb_min,
+                    self.aabb_size, t_start_min=0.05)
+                seg_ray = jnp.arange(n_rays, dtype=jnp.int32)
+                seg_k = jnp.zeros((n_rays,), jnp.int32)
+                seg_total = jnp.zeros((), jnp.int32)
+            else:
+                t0, tmax, seg_ray, seg_k, t_s, dt_s, emit_s, seg_total = \
+                    march_segment_stream(
+                        bitfield, coarse, o, d, n_rays, opts.march_steps,
+                        self.cone_angle, self.max_cascade, self.aabb_min,
+                        self.aabb_size, S1, seg=seg, t_start_min=0.05)
+            valid_seg = seg_ray < n_rays
+            rid0 = jnp.clip(seg_ray, 0, n_rays - 1)
+            if has_crop:
+                ct0, ct1 = ray_aabb_intersect(o, d, crop_min, crop_max)
+                emit_s = emit_s & (t_s >= ct0[rid0][:, None]) & \
+                    (t_s <= ct1[rid0][:, None])
+
+            # per-ray live counts (exact int32) + stream-order ranks
+            seg_live = emit_s.sum(axis=1, dtype=jnp.int32)       # (S1,)
+            c_ray = jnp.zeros((n_rays,), jnp.int32).at[seg_ray].add(
+                seg_live, mode="drop")
+            base = jnp.cumsum(c_ray) - c_ray                     # (R,)
+            flat_pos = jnp.cumsum(
+                emit_s.reshape(-1).astype(jnp.int32)) - 1
+            rank = flat_pos.reshape(S1, seg) - base[rid0][:, None]
+
+            # decimation cap fitted so the kept total is ≤ the chosen
+            # bucket: d(c, cap') = ceil(c / ceil(c / cap')) kept per ray
+            cands_a = jnp.asarray(cands, jnp.int32)[None]        # (1, J)
+            c2 = c_ray[:, None]
+            m_j = -(-c2 // cands_a)                              # (R, J)
+            d_j = jnp.where(c2 > 0, -(-c2 // jnp.maximum(m_j, 1)), 0)
+            tot_j = d_j.sum(axis=0)                              # (J,)
+            buckets_a = jnp.asarray(buckets, jnp.int32)
+            b_raw = jnp.searchsorted(buckets_a, tot_j[0])
+            overflowed = b_raw >= len(buckets)
+            b = jnp.minimum(b_raw, len(buckets) - 1)
+            j_fit = jnp.argmax(tot_j <= buckets[-1])
+            capx = jnp.where(overflowed, cands_a[0, j_fit], cap)
+            dcnt = jnp.where(overflowed, d_j[:, j_fit], d_j[:, 0])
+
+            m = jnp.maximum(-(-c_ray // jnp.maximum(capx, 1)), 1)
+            m_s = m[rid0][:, None]                               # (S1, 1)
+            keep = emit_s & (rank % m_s == 0)
+            grp = jnp.minimum(m_s, c_ray[rid0][:, None] - rank
+                              ).astype(dt_s.dtype)
+            dt_eff = jnp.where(keep, dt_s * grp, dt_s)
+            total = dcnt.sum()
+
+            def make_branch(S_b):
+                def br(_):
+                    s_t, s_dt, s_row, _, _, _, _, s_kk = compact_samples(
+                        t_s, dt_eff, keep, S1, S_b)
+                    v = s_row < S1
+                    row = jnp.clip(s_row, 0, S1 - 1)
+                    ray_of = jnp.where(v, rid0[row], n_rays)
+                    rid = jnp.clip(ray_of, 0, n_rays - 1)
+                    pos = o[rid] + s_t[:, None] * d[rid]
+                    pos_w = (pos - self.aabb_min) / self.aabb_size
+                    dir_w = d[rid] * 0.5 + 0.5
+                    rgb_raw, dens_raw = self.model.apply(params, pos_w,
+                                                         dir_w)
+                    rgb = jax.nn.sigmoid(rgb_raw.astype(jnp.float32))
+                    sigma = jnp.exp(jnp.clip(
+                        dens_raw.astype(jnp.float32), -15., 15.))
+                    s_dt_eff = s_dt
+                    if self.masks:
+                        from ngp_tpu.render.multi_nerf import apply_masks
+                        alpha_mult = apply_masks(self.masks, pos)
+                        alpha = 1.0 - jnp.exp(-sigma * s_dt)
+                        s_dt_eff = -jnp.log1p(
+                            -jnp.clip(alpha_mult * alpha, 0.0,
+                                      1.0 - 1e-7)) / \
+                            jnp.maximum(sigma, 1e-10)
+                    sdt = jnp.where(v, sigma * s_dt_eff, 0.0)
+                    # exclusive per-ray optical depth, two exact levels:
+                    # in-segment prefix on the (S1, seg) stream + inter-
+                    # segment per-ray prefix on an (R, n_seg) lattice
+                    lat = jnp.zeros((S1, seg)).at[row, s_kk].add(
+                        jnp.where(v, sdt, 0.0), mode="drop")
+                    in_seg_excl = jnp.cumsum(lat, axis=1) - lat
+                    seg_sum = lat.sum(axis=1)                    # (S1,)
+                    lat2 = jnp.zeros((n_rays, n_seg)).at[
+                        seg_ray, jnp.clip(seg_k, 0, n_seg - 1)].add(
+                        jnp.where(valid_seg, seg_sum, 0.0), mode="drop")
+                    ray_excl2 = jnp.cumsum(lat2, axis=1) - lat2
+                    seg_base = ray_excl2[rid0[row],
+                                         jnp.clip(seg_k[row], 0,
+                                                  n_seg - 1)]
+                    excl = seg_base + in_seg_excl[row, s_kk]
+                    T = jnp.exp(-excl)
+                    alpha_s = 1.0 - jnp.exp(-sdt)
+                    w = jnp.where(v, T * alpha_s, 0.0)
+                    rgb_ray = jnp.zeros((n_rays, 3)).at[ray_of].add(
+                        w[:, None] * rgb, mode="drop")
+                    depth_ray = jnp.zeros((n_rays,)).at[ray_of].add(
+                        w * s_t, mode="drop")
+                    odepth = lat2.sum(axis=1)                    # (R,)
+                    return rgb_ray, depth_ray, odepth
+                return br
+
+            rgb_ray, depth_ray, odepth = jax.lax.switch(
+                b, [make_branch(S_b) for S_b in buckets],
+                jnp.zeros((), jnp.int32))
+            opacity = 1.0 - jnp.exp(-odepth)
+            rgb_out = rgb_ray + jnp.exp(-odepth)[:, None] * bg_ray
+            if mode == RenderMode.DEPTH:
+                rgb_out = jnp.repeat(
+                    (depth_ray / jnp.maximum(opacity, 1e-6))[:, None],
+                    3, 1)
+            elif mode == RenderMode.AO:
+                rgb_out = jnp.repeat(opacity[:, None], 3, axis=1)
+            elif mode == RenderMode.COST:
+                rgb_out = jnp.repeat(dcnt.astype(jnp.float32)[:, None]
+                                     / 128.0, 3, axis=1)
+            overflow = seg_total > S1
+            return rgb_out, opacity, total, overflow
+
+        cache[key_] = run
+        return run
+
+    def _frame_fn_wave2(self, eff_chunk: int, group: int, W: int, H: int,
+                        n_spp: int, motion: bool, flat: bool = False):
+        """Jitted wave2 render of a GROUP of pixel chunks: one scan over
+        (spp × group) work items, each a full march→switch-bucket→
+        composite chunk — ZERO host syncs inside a group (vs one count
+        roundtrip per chunk in the host-dispatch wave). Also returns the
+        summed live-sample count and an overflow flag (any chunk whose
+        surviving segments exceeded the stream bound S1 under-rendered;
+        the caller re-renders the group on the static path)."""
+        key_ = ("wave2frame", eff_chunk, group, W, H, n_spp, motion, flat)
+        cache = self._wave_cache()
+        if key_ in cache:
+            return cache[key_]
+        core = self._wave2_chunk_fn(eff_chunk, W, H, motion, flat=flat)
+        snap = self.opts.snap_to_pixel_centers
+
+        @jax.jit
+        def run_group(params, bitfield, xf_s, xf_e, rsh, bg, key, fx, fy,
+                      base):
+            coarse = occupancy_mod._build_coarse_mask(
+                bitfield.reshape(occupancy_mod.NERF_CASCADES,
+                                 occupancy_mod.GH, occupancy_mod.GH,
+                                 occupancy_mod.GH))
+
+            def body(carry, idx):
+                acc, tot, ovf = carry
+                s = idx // group
+                c = base + idx % group
+                kc = jax.random.fold_in(key, s * 4096 + c)
+                jitter_on = jnp.asarray(not snap) & (s > 0)
+                rgb, opac, n, o_f = core(
+                    params, bitfield, coarse, xf_s, xf_e, rsh, bg, kc,
+                    c * eff_chunk, jitter_on, fx, fy)
+                contrib = jnp.concatenate([rgb, opac[:, None]],
+                                          -1) / n_spp
+                lo = (idx % group) * eff_chunk
+                prev = jax.lax.dynamic_slice(acc, (lo, 0),
+                                             (eff_chunk, 4))
+                acc = jax.lax.dynamic_update_slice(acc, prev + contrib,
+                                                   (lo, 0))
+                return (acc, tot + n, ovf | o_f), None
+
+            acc0 = (jnp.zeros((group * eff_chunk, 4)),
+                    jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+            (acc, tot, ovf), _ = jax.lax.scan(
+                body, acc0, jnp.arange(n_spp * group, dtype=jnp.int32))
+            return acc, tot, ovf
+
+        cache[key_] = run_group
+        return run_group
+
+    def _render_wave2(self, params, bitfield, xf_s, xf_e, rsh, bg, key,
+                      eff_chunk, n_chunks, W, H, n_spp, fx, fy, motion):
+        """Full-frame device-dispatch wave render: chunk groups run as
+        single scans; the only host syncs are the per-group pixel
+        fetches. An overflowed group (segment stream bound exceeded —
+        would silently under-render) is re-rendered with the FLAT
+        device-dispatch program (stream = the (R, K) lattice, cannot
+        overflow), and the frame sticks to flat from then on — scenes
+        too incoherent for the coarse mask stay on the device path
+        instead of regressing to static."""
+        opts = self.opts
+        self.last_wave_samples = 0
+        group = max(min(opts.dispatch_chunks, n_chunks), 1)
+        # sticky across frames: once this scene overflowed the segment
+        # stream, later frames go straight to the flat program
+        flat = opts.wave_march == "flat" or \
+            getattr(self, "_wave2_flat_sticky", False)
+        parts = []
+        handles = []
+        for base in range(0, n_chunks, group):
+            g = min(group, n_chunks - base)
+            fn = self._frame_fn_wave2(eff_chunk, g, W, H, n_spp, motion,
+                                      flat=flat)
+            handles.append((base, g, fn(
+                params, bitfield, xf_s, xf_e, rsh, bg, key,
+                jnp.float32(fx), jnp.float32(fy), base)))
+        for base, g, (acc, tot, ovf) in handles:
+            if bool(np.asarray(ovf)):
+                self._wave2_flat_sticky = True
+                fn = self._frame_fn_wave2(eff_chunk, g, W, H, n_spp,
+                                          motion, flat=True)
+                acc, tot, _ = fn(params, bitfield, xf_s, xf_e, rsh, bg,
+                                 key, jnp.float32(fx), jnp.float32(fy),
+                                 base)
+            self.last_wave_samples += int(np.asarray(tot))
+            parts.append(np.asarray(acc))
+        return np.concatenate(parts, axis=0)
 
     def _render_wave(self, params, bitfield, xf_s, xf_e, rsh, bg, key,
                      eff_chunk, n_chunks, W, H, n_spp, fx, fy, motion):
@@ -894,7 +1209,9 @@ class NerfRenderer:
         n_chunks = -(-H * W // eff_chunk)
         motion = camera_matrix_end is not None
         if self._wave_supported():
-            acc = jnp.asarray(self._render_wave(
+            wave_impl = self._render_wave2 \
+                if opts.wave_dispatch == "device" else self._render_wave
+            acc = jnp.asarray(wave_impl(
                 params, bitfield, xf_s, xf_e, rsh, bg, key, eff_chunk,
                 n_chunks, W, H, n_spp, fx, fy, motion)[: H * W])
         else:

@@ -150,6 +150,40 @@ def load_msgpack_config(path) -> dict:
 # --------------------------------------------------------------------------
 # Reference (tiny-cuda-nn) snapshot interchange
 # --------------------------------------------------------------------------
+#
+# TCNN ABI ASSUMPTIONS — the single source of truth for both codecs.
+# Each row cites where the rule is visible in the reference tree; a
+# CUDA-produced snapshot can be validated against this table in minutes
+# (no such file ships in this zero-egress environment, so the rules are
+# cross-checked against usage sites + an independently hand-constructed
+# golden-bytes fixture, tests/test_snapshot_golden.py).
+#
+# | # | rule | reference evidence |
+# |---|------|--------------------|
+# | 1 | params_binary is ONE flat fp16 buffer of all trainable params   |
+# |   | (snapshot["params_type"] == "__half")                           |
+# |   |   ref: src/testbed.cu:3008-3106 save/load_snapshot              |
+# | 2 | NerfNetwork param order: density MLP, rgb MLP, pos encoding,    |
+# |   | dir encoding (SH: no params)                                    |
+# |   |   ref: nerf_network.h:361-394 set_params                        |
+# | 3 | NetworkWithInputEncoding (sdf/image/volume Testbed modes) param |
+# |   | order: MLP first, then encoding — same member order as rule 2   |
+# |   |   ref: nerf_network.h pattern; testbed.cu:2290-2360 builds      |
+# |   |   NetworkWithInputEncoding for the non-NeRF modes               |
+# | 4 | MLP matrices are (n_out, n_in) ROW-major; our x·W layout is the |
+# |   | transpose                                                       |
+# |   |   ref: tcnn FullyFusedMLP weight layout (usage:                 |
+# |   |   nerf_network.h:81-99 width plumbing)                          |
+# | 5 | MLP input widths pad to the next multiple of 16; output widths  |
+# |   | pad to 16 (density MLP emits 16 = 1 density + 15 latent)        |
+# |   |   ref: nerf_network.h:81-99; padded rgb out rule :169           |
+# | 6 | HashGrid levels concatenate; per-level entries = min(res^D, T)  |
+# |   | rounded UP to a multiple of 8; F features interleave per entry  |
+# |   |   ref: grid resolution rules mirrored in                        |
+# |   |   kernels/hashgrid.py:HashGridMeta (level_params)               |
+# | 7 | density_grid_binary is fp16 in MORTON order, 128^3 per cascade  |
+# |   |   ref: cascaded_grid_idx_at (testbed_nerf.cu)                   |
+
 
 def _tcnn_mlp_widths(doc: dict, meta):
     """The (n_in, n_out) sequences tcnn allocates for the NerfNetwork's two
@@ -239,6 +273,102 @@ def export_reference_snapshot(path, network_config: dict, params,
     doc = dict(network_config)
     doc["snapshot"] = snap
     Path(path).write_bytes(msgpack.packb(doc, use_bin_type=True))
+
+
+def _tcnn_encoded_widths(network_cfg: dict, enc_out: int,
+                         n_output_dims: int):
+    """(n_in, n_out) sequence tcnn allocates for a NetworkWithInputEncoding
+    MLP (ABI rules 4-5): encoding output padded to 16 feeds the first
+    layer; the last layer's output pads to 16."""
+    n = int(network_cfg.get("n_neurons", 64))
+    hidden = int(network_cfg.get("n_hidden_layers", 1))
+    in_pad = (enc_out + 15) // 16 * 16
+    out_pad = max((n_output_dims + 15) // 16 * 16, 16)
+    widths = [(in_pad, n)]
+    widths += [(n, n)] * (hidden - 1)
+    widths += [(n, out_pad)]
+    return widths
+
+
+def _encoded_meta(doc: dict, n_input_dims: int, desired_resolution: float):
+    from ngp_tpu.config import autofill_hashgrid_config
+    from ngp_tpu.kernels.hashgrid import HashGridMeta
+    enc_cfg = autofill_hashgrid_config(dict(doc["encoding"]), n_input_dims,
+                                       desired_resolution)
+    return HashGridMeta.from_config(enc_cfg), enc_cfg
+
+
+def export_reference_snapshot_encoded(
+        path, network_config: dict, params, n_input_dims: int,
+        n_output_dims: int, desired_resolution: float = 2048.0,
+        training_step: int = 0, loss: float = 0.0,
+        extra: Optional[dict] = None) -> None:
+    """tcnn ``params_binary`` export for the NetworkWithInputEncoding
+    primitives (sdf / image / volume Testbed modes): MLP first, then the
+    hash table (ABI rule 3). ``params`` is the EncodedNetwork pytree
+    {"encoding": flat tcnn-layout table, "net": (W, ...)}."""
+    meta, _ = _encoded_meta(network_config, n_input_dims,
+                            desired_resolution)
+    widths = _tcnn_encoded_widths(network_config["network"],
+                                  meta.n_output_dims, n_output_dims)
+    chunks = []
+    for w, (n_in, n_out) in zip(params["net"], widths):
+        w = np.asarray(w, np.float32)
+        full = np.zeros((n_in, n_out), np.float32)
+        full[: w.shape[0], : w.shape[1]] = w
+        chunks.append(full.T.reshape(-1))       # (n_out, n_in) row-major
+    table = np.asarray(params["encoding"], np.float32).reshape(-1)
+    expect = meta.n_params * meta.n_features_per_level
+    assert table.size == expect, \
+        f"table size {table.size} != tcnn layout {expect}"
+    chunks.append(table)
+    flat = np.concatenate(chunks).astype(np.float16)
+    snap = {
+        "version": SNAPSHOT_FORMAT_VERSION,
+        "n_params": int(flat.size),
+        "params_type": "__half",
+        "params_binary": flat.tobytes(),
+        "training_step": int(training_step),
+        "loss": float(loss),
+    }
+    if extra:
+        snap.update(_pack_tree(extra))
+    doc = dict(network_config)
+    doc["snapshot"] = snap
+    Path(path).write_bytes(msgpack.packb(doc, use_bin_type=True))
+
+
+def import_reference_snapshot_encoded(path, n_input_dims: int,
+                                      n_output_dims: int,
+                                      desired_resolution: float = 2048.0):
+    """Import a tcnn NetworkWithInputEncoding snapshot (the reference's
+    sdf/image/volume modes). Returns (network_config, params, snapshot)
+    where params matches EncodedNetwork with NGP_TPU_GRID_IMPL=tcnn."""
+    doc = msgpack.unpackb(Path(path).read_bytes(), raw=False,
+                          strict_map_key=False)
+    snap = doc["snapshot"]
+    raw = snap.get("params_binary")
+    if raw is None:
+        raise ValueError("no params_binary — not a reference snapshot")
+    flat = np.frombuffer(raw, np.float16).astype(np.float32)
+    meta, enc_cfg = _encoded_meta(doc, n_input_dims, desired_resolution)
+    widths = _tcnn_encoded_widths(doc["network"], meta.n_output_dims,
+                                  n_output_dims)
+    off = 0
+    mats = []
+    for n_in, n_out in widths:
+        n = n_in * n_out
+        mats.append(flat[off: off + n].reshape(n_out, n_in).T.copy())
+        off += n
+    n_table = meta.n_params * meta.n_features_per_level
+    table = flat[off: off + n_table].copy()
+    off += n_table
+    # trim the tcnn padding back to our exact shapes
+    mats[0] = mats[0][: meta.n_output_dims]
+    mats[-1] = mats[-1][:, :n_output_dims]
+    cfg = {k: v for k, v in doc.items() if k != "snapshot"}
+    params = {"encoding": table, "net": tuple(mats)}
+    return cfg, params, snap
 
 
 # --------------------------------------------------------------------------

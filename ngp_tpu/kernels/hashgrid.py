@@ -51,9 +51,16 @@ class HashGridMeta:
 
     @functools.cached_property
     def level_scales(self) -> Tuple[float, ...]:
-        # tcnn grid scale: b^l * N_min - 1
+        # tcnn grid scale: exp2f(l * log2f(b)) * N_min - 1, computed in
+        # FLOAT32 like the CUDA reference — f64 here rounds some exact-
+        # integer scales (e.g. b=1.5, l=3: 53.0 vs 53.000000000000007)
+        # the other way, changing ceil() and with it the level resolution
+        # and table layout (tcnn ABI rule 6, io/snapshot.py)
+        import numpy as np
+        log2b = np.log2(np.float32(self.per_level_scale))
         return tuple(
-            math.exp2(l * math.log2(self.per_level_scale)) * self.base_resolution - 1.0
+            float(np.exp2(np.float32(l) * log2b, dtype=np.float32)
+                  * np.float32(self.base_resolution) - np.float32(1.0))
             for l in range(self.n_levels)
         )
 

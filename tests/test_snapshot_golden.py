@@ -122,3 +122,92 @@ def test_golden_bytes_import_and_export(tmp_path):
     doc2 = msgpack.unpackb(out.read_bytes(), raw=False,
                            strict_map_key=False)
     assert doc2["snapshot"]["params_binary"] == buf.tobytes()
+
+
+# --------------------------------------------------------------------------
+# NetworkWithInputEncoding primitives (sdf 3->1, image 2->3, volume 3->4)
+# --------------------------------------------------------------------------
+
+ENC_CONFIG = {
+    "loss": {"otype": "L2"},
+    "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+    "encoding": {
+        "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+        "log2_hashmap_size": 12, "base_resolution": 16,
+        "per_level_scale": 1.5,
+    },
+    "network": {"otype": "FullyFusedMLP", "activation": "ReLU",
+                "output_activation": "None", "n_neurons": 64,
+                "n_hidden_layers": 2},
+}
+
+
+def _independent_encoded_layout(n_dims, n_out):
+    """tcnn NetworkWithInputEncoding layout from the ABI rules alone:
+    MLP first (input = L*F padded to 16, output padded to 16), then the
+    grid levels (min(res^D, T) entries aligned to 8, F interleaved)."""
+    L, F = 4, 2
+    T = 1 << 12
+    base, growth = 16, 1.5
+    level_entries = []
+    for lv in range(L):
+        res = int(math.ceil(growth ** lv * base - 1.0)) + 1
+        level_entries.append((min(res ** n_dims, T) + 7) // 8 * 8)
+    n_grid = sum(level_entries) * F
+    in_pad = (L * F + 15) // 16 * 16          # 16
+    out_pad = max((n_out + 15) // 16 * 16, 16)
+    shapes = [(64, in_pad), (64, 64), (out_pad, 64)]   # (n_out, n_in)
+    return shapes, n_grid
+
+
+import pytest
+
+
+@pytest.mark.parametrize("prim,n_dims,n_out", [
+    ("sdf", 3, 1), ("image", 2, 3), ("volume", 3, 4)])
+def test_golden_bytes_encoded_primitives(tmp_path, prim, n_dims, n_out):
+    """Hand-constructed tcnn buffers for the three encoded primitives
+    decode exactly and re-export byte-for-byte (round-5 verdict #6)."""
+    from ngp_tpu.io.snapshot import (export_reference_snapshot_encoded,
+                                     import_reference_snapshot_encoded)
+
+    rng = np.random.default_rng(hash(prim) % (1 << 31))
+    shapes, n_grid = _independent_encoded_layout(n_dims, n_out)
+    true_cols = [8, 64, 64]                   # true input widths
+    true_rows = [64, 64, n_out]               # true output widths
+    mats = []
+    for (n_o, n_i), tr_, tc in zip(shapes, true_rows, true_cols):
+        m = np.zeros((n_o, n_i), np.float16)
+        m[:tr_, :tc] = (rng.integers(-512, 512, (tr_, tc))
+                        / 1024.0).astype(np.float16)
+        mats.append(m)
+    grid = (rng.integers(-512, 512, n_grid) / 4096.0).astype(np.float16)
+    buf = np.concatenate([m.reshape(-1) for m in mats]
+                         + [grid]).astype(np.float16)
+
+    doc = dict(ENC_CONFIG)
+    doc["snapshot"] = {
+        "version": 2, "n_params": int(buf.size),
+        "params_type": "__half", "params_binary": buf.tobytes(),
+    }
+    p = tmp_path / f"golden_{prim}.msgpack"
+    p.write_bytes(msgpack.packb(doc, use_bin_type=True))
+
+    cfg, params, snap = import_reference_snapshot_encoded(
+        str(p), n_dims, n_out)
+    # exact decode (transposed to x.W, padding trimmed)
+    np.testing.assert_array_equal(np.asarray(params["net"][0]),
+                                  mats[0].astype(np.float32).T[:8])
+    np.testing.assert_array_equal(np.asarray(params["net"][1]),
+                                  mats[1].astype(np.float32).T)
+    np.testing.assert_array_equal(np.asarray(params["net"][2]),
+                                  mats[2].astype(np.float32).T[:, :n_out])
+    np.testing.assert_array_equal(np.asarray(params["encoding"]),
+                                  grid.astype(np.float32))
+    # byte-exact re-export
+    out = tmp_path / f"reexport_{prim}.msgpack"
+    export_reference_snapshot_encoded(str(out), ENC_CONFIG, params,
+                                      n_dims, n_out)
+    doc2 = msgpack.unpackb(out.read_bytes(), raw=False,
+                           strict_map_key=False)
+    assert doc2["snapshot"]["params_binary"] == buf.tobytes()

@@ -69,6 +69,163 @@ def _tet_triangles(vals, coords, thresh):
     return np.concatenate(tris, 0)
 
 
+# --------------------------------------------------------------------------
+# Marching cubes (canonical cell topology, self-derived tables)
+# --------------------------------------------------------------------------
+#
+# The reference extracts meshes with classic marching cubes
+# (ref: src/marching_cubes.cu:274-430 gen_vertices/gen_faces). Instead of
+# transcribing the 256-entry Lorensen-Cline tables, the case table here is
+# DERIVED at import time by walking each cube case's face boundaries:
+# every face contributes oriented segments separating its inside-corner
+# runs (ambiguous 4-cut faces resolve to the standard "separate the
+# diagonal" pairing — the same fixed per-face rule on both sides of a
+# shared face, so meshes stay watertight across cells); segments chain
+# into closed loops which fan-triangulate. Output topology and triangle
+# counts match MC-grade extraction (one surface polygon per loop,
+# typically 1-4 triangles/cell vs ~2-3x for marching tetrahedra).
+
+# 12 cube edges as corner pairs (corner c bit-coords: x=c&1, y=c>>1&1,
+# z=c>>2&1), each ordered low corner -> high corner so the interpolation
+# direction is IDENTICAL in the two cells sharing an edge (opposite
+# directions give 1-ulp-different cut points that can straddle the weld
+# quantum and tear the mesh)
+_MC_EDGES = ((0, 1), (1, 3), (2, 3), (0, 2),
+             (4, 5), (5, 7), (6, 7), (4, 6),
+             (0, 4), (1, 5), (3, 7), (2, 6))
+_MC_EDGE_ID = {frozenset(e): i for i, e in enumerate(_MC_EDGES)}
+
+
+def _mc_faces():
+    """6 faces as corner cycles, all CCW as seen from OUTSIDE the cube."""
+    faces = []
+    for a in range(3):
+        # right-handed (a, u, v): the (bu, bv) cycle below is CCW around
+        # the +a normal, reversed for the s=0 (outward normal -a) face
+        u, v = (a + 1) % 3, (a + 2) % 3
+        for s in (0, 1):
+            cyc = []
+            for (bu, bv) in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                c = (s << a) | (bu << u) | (bv << v)
+                cyc.append(c)
+            if s == 0:
+                cyc = cyc[::-1]
+            faces.append(cyc)
+    return faces
+
+
+def _mc_case_triangles(code: int):
+    """Triangles (as edge-index triples) for one of the 256 corner-sign
+    cases, derived by the face-walk construction."""
+    inside = [(code >> c) & 1 for c in range(8)]
+    segments = {}                      # enter_edge -> leave_edge
+    for cyc in _mc_faces():
+        ins = [inside[c] for c in cyc]
+        if all(ins) or not any(ins):
+            continue
+        # boundary edge i connects cyc[i] -> cyc[i+1]
+        eid = [_MC_EDGE_ID[frozenset((cyc[i], cyc[(i + 1) % 4]))]
+               for i in range(4)]
+        for i in range(4):
+            # an inside-run starts at corner i: entering cut edge is the
+            # boundary edge BEFORE it, leaving edge follows the run
+            if ins[i] and not ins[i - 1]:
+                j = i
+                while ins[j % 4]:
+                    j += 1
+                enter = eid[(i - 1) % 4]
+                leave = eid[(j - 1) % 4]
+                segments[enter] = leave
+    tris = []
+    seen = set()
+    for start in list(segments):
+        if start in seen:
+            continue
+        loop = [start]
+        seen.add(start)
+        nxt = segments[start]
+        while nxt != start:
+            loop.append(nxt)
+            seen.add(nxt)
+            nxt = segments[nxt]
+        for k in range(1, len(loop) - 1):
+            tris.append((loop[0], loop[k], loop[k + 1]))
+    return tris
+
+
+def _mc_tables():
+    """(256, Tmax, 3) int8 triangle table (edge ids, -1 padded)."""
+    cases = [_mc_case_triangles(c) for c in range(256)]
+    tmax = max(len(t) for t in cases)
+    table = np.full((256, tmax, 3), -1, np.int8)
+    for c, t in enumerate(cases):
+        for i, tri in enumerate(t):
+            table[c, i] = tri
+    return table
+
+
+_MC_TRI_TABLE = None
+
+
+def marching_cubes(field: np.ndarray, threshold: float = 0.0,
+                   origin=(0, 0, 0), spacing: Optional[float] = None):
+    """field (X, Y, Z) scalar grid → (vertices (V,3), faces (F,3)) with
+    classic marching-cubes cell topology (inside = field < threshold,
+    the same convention as marching_tetrahedra)."""
+    global _MC_TRI_TABLE
+    if _MC_TRI_TABLE is None:
+        _MC_TRI_TABLE = _mc_tables()
+    X, Y, Z = field.shape
+    if spacing is None:
+        spacing = 1.0 / (max(X, Y, Z) - 1)
+    e_a = np.array([e[0] for e in _MC_EDGES], np.int32)
+    e_b = np.array([e[1] for e in _MC_EDGES], np.int32)
+    all_tris = []
+    for z0 in range(0, Z - 1, 32):
+        z1 = min(z0 + 32, Z - 1)
+        xs, ys, zs = np.meshgrid(np.arange(X - 1), np.arange(Y - 1),
+                                 np.arange(z0, z1), indexing="ij")
+        base = np.stack([xs, ys, zs], -1).reshape(-1, 3)
+        cvals = np.empty((len(base), 8), np.float32)
+        for c in range(8):
+            o = _CORNER_OFF[c]
+            cvals[:, c] = field[base[:, 0] + o[0], base[:, 1] + o[1],
+                                base[:, 2] + o[2]]
+        active = (cvals.min(1) < threshold) & (cvals.max(1) >= threshold)
+        base, cvals = base[active], cvals[active]
+        if len(base) == 0:
+            continue
+        inside = cvals < threshold
+        code = (inside << np.arange(8)).sum(-1)
+        # all 12 edge intersection points per active cell
+        va, vb = cvals[:, e_a], cvals[:, e_b]            # (M, 12)
+        denom = np.where(np.abs(vb - va) < 1e-12, 1e-12, vb - va)
+        t = np.clip((threshold - va) / denom, 0.0, 1.0)
+        ca = (base[:, None, :] + _CORNER_OFF[e_a][None]).astype(np.float32)
+        cb = (base[:, None, :] + _CORNER_OFF[e_b][None]).astype(np.float32)
+        pts = ca * (1 - t[..., None]) + cb * t[..., None]  # (M, 12, 3)
+        tcase = _MC_TRI_TABLE[code]                        # (M, T, 3)
+        valid = tcase[..., 0] >= 0                         # (M, T)
+        m_idx, t_idx = np.nonzero(valid)
+        edge_ids = tcase[m_idx, t_idx].astype(np.int32)    # (K, 3)
+        tri = pts[m_idx[:, None], edge_ids]                # (K, 3, 3)
+        if len(tri):
+            all_tris.append(tri)
+    if not all_tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32)
+    tris = np.concatenate(all_tris, 0) * spacing \
+        + np.asarray(origin, np.float32)
+    flat = tris.reshape(-1, 3)
+    key = np.round(flat / (spacing * 1e-4)).astype(np.int64)
+    _, idx, inv = np.unique(key, axis=0, return_index=True,
+                            return_inverse=True)
+    verts = flat[idx]
+    faces = inv.reshape(-1, 3).astype(np.int32)
+    good = (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & \
+        (faces[:, 0] != faces[:, 2])
+    return verts.astype(np.float32), faces[good]
+
+
 def marching_tetrahedra(field: np.ndarray, threshold: float = 0.0,
                         origin=(0, 0, 0), spacing: Optional[float] = None):
     """field (X, Y, Z) scalar grid → (vertices (V,3), faces (F,3)).
@@ -268,12 +425,15 @@ def save_density_slices(path_prefix, field: np.ndarray):
 
 def extract_mesh_from_density(density_fn: Callable, res: int = 256,
                               threshold: float = 2.5, aabb_min=0.0,
-                              aabb_size=1.0, smooth_iters: int = 1):
+                              aabb_size=1.0, smooth_iters: int = 1,
+                              method: str = "mc"):
     """NeRF density → mesh (ref: Testbed::compute_marching_cubes_mesh,
-    thresh default 2.5 on σ)."""
+    thresh default 2.5 on σ). ``method``: "mc" (classic marching-cubes
+    cell topology, the reference's extractor) or "tets"."""
     field = density_field_on_grid(density_fn, res, aabb_min, aabb_size)
+    extract = marching_cubes if method == "mc" else marching_tetrahedra
     # inside = high density → use -field with -threshold so inside < thresh
-    verts, faces = marching_tetrahedra(-field, -threshold)
+    verts, faces = extract(-field, -threshold)
     verts = verts * aabb_size + aabb_min
     if smooth_iters and len(verts):
         verts = smooth_mesh(verts, faces, smooth_iters)

@@ -72,40 +72,13 @@ def ssim(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def flip(img: np.ndarray, ref: np.ndarray,
-         pixels_per_degree: float = 67.0) -> float:
-    """LDR-FLIP-style perceptual error (simplified re-implementation of the
-    metric the reference vendors in scripts/flip/): CSF-bandlimited color
-    difference in a perceptually uniform space combined with an edge/point
-    feature difference, mean over pixels in [0,1]."""
-    from scipy.ndimage import gaussian_filter
-
-    def to_lab(x):
-        x = np.clip(x, 0, 1) ** 2.2
-        M = np.array([[0.4124, 0.3576, 0.1805],
-                      [0.2126, 0.7152, 0.0722],
-                      [0.0193, 0.1192, 0.9505]])
-        xyz = x @ M.T
-        wp = np.array([0.9505, 1.0, 1.089])
-        f = np.cbrt(np.maximum(xyz / wp, 1e-8))
-        L = 116 * f[..., 1] - 16
-        a = 500 * (f[..., 0] - f[..., 1])
-        b = 200 * (f[..., 1] - f[..., 2])
-        return np.stack([L, a, b], -1)
-
-    # spatial bandlimiting ~ CSF low-pass (sigma from viewing conditions)
-    sigma = 0.5 * pixels_per_degree / 60.0
-    fa = gaussian_filter(np.asarray(img, np.float64), (sigma, sigma, 0))
-    fb = gaussian_filter(np.asarray(ref, np.float64), (sigma, sigma, 0))
-    dE = np.linalg.norm(to_lab(fa[..., :3]) - to_lab(fb[..., :3]), axis=-1)
-    color_err = 1.0 - np.exp(-dE / 30.0)
-
-    # feature difference: gradient-magnitude mismatch of luminance
-    def lum_grad(x):
-        l = luminance(x)
-        gx = np.gradient(l, axis=1)
-        gy = np.gradient(l, axis=0)
-        return np.sqrt(gx * gx + gy * gy)
-    feat_err = np.abs(lum_grad(fa) - lum_grad(fb))
-    feat_err = 1.0 - np.exp(-feat_err * 8.0)
-    err = 1.0 - (1.0 - color_err) * (1.0 - feat_err)
-    return float(np.mean(err))
+         pixels_per_degree: float = 67.02064327658226) -> float:
+    """Mean LDR-FLIP perceptual error (full published metric; validated
+    numerically against the NVIDIA implementation the reference vendors
+    in scripts/flip/ — tests/test_flip.py). Inputs are sRGB in [0, 1];
+    the default pixels_per_degree matches the reference's viewing
+    conditions (0.7 m distance, 0.7 m wide 3840-px monitor)."""
+    from ngp_tpu.utils.flip import compute_flip_map
+    return float(np.mean(compute_flip_map(
+        np.asarray(ref, np.float64)[..., :3],
+        np.asarray(img, np.float64)[..., :3], pixels_per_degree)))

@@ -17,12 +17,22 @@ import argparse
 import json
 import os
 import shutil
+import os
 import subprocess
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# NGP_TPU_FORCE_CPU=1: run on the host CPU even under the axon
+# sitecustomize (which pins JAX_PLATFORMS=axon at interpreter start — a
+# plain env override is ignored, the jax config must be set directly)
+if os.environ.get("NGP_TPU_FORCE_CPU"):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import common  # noqa: F401  (sets sys.path)
 from common import mse2psnr, ssim, write_image

@@ -309,6 +309,12 @@ class Testbed:
                 # XLA compile (minutes through the chip tunnel)
                 tcfg.n_rays = fixed
                 tcfg.adapt_rays = False
+            # CPU-scale escape hatches (single-core hosts can't run the
+            # chip-sized defaults; used by the synthetic holdout test)
+            if os.environ.get("NGP_TPU_BATCH"):
+                tcfg.target_batch_size = int(os.environ["NGP_TPU_BATCH"])
+            if os.environ.get("NGP_TPU_MARCH_STEPS"):
+                tcfg.march_steps = int(os.environ["NGP_TPU_MARCH_STEPS"])
             self.trainer = NerfTrainer(ds, cfg, tcfg=tcfg)
             t.dataset = ds
             t.n_images_for_training = ds.n_images

@@ -140,7 +140,10 @@ class RenderOptions:
     # n_alive sync per 8-step round (ref: NerfTracer::trace,
     # src/testbed_nerf.cu:2140-2267).
     wave_dispatch: str = "device"
-    wave2_frac: int = 4           # device path: seg stream = R·n_seg/frac
+    # seg stream bound = R·n_seg/frac. 2 holds dense indoor scenes (fox:
+    # most inside segments survive the coarse test — frac 4 overflowed
+    # every chunk and fell back to the flat lattice)
+    wave2_frac: int = 2
     wave2_top_bucket: int = 1 << 18   # largest switch branch; beyond it
     # the per-ray cap is halved on device until the stream fits
 

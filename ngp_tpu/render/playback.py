@@ -135,9 +135,20 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
             d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
             outs = []
             for s in range(0, idx.size, batch):
+                pb = pos[s:s + batch]
+                db = d[s:s + batch]
+                n = pb.shape[0]
+                if n < batch:
+                    # pad the tail to the static batch shape: every
+                    # distinct shape is a fresh XLA compile (minutes
+                    # through the chip tunnel)
+                    pad = batch - n
+                    pb = np.concatenate([pb, np.zeros((pad, 3),
+                                                      np.float32)])
+                    db = np.concatenate([db, np.tile(
+                        np.float32([0, 0, 1]), (pad, 1))])
                 outs.append(np.asarray(eval_batch(
-                    jnp.asarray(pos[s:s + batch]),
-                    jnp.asarray(d[s:s + batch]))))
+                    jnp.asarray(pb), jnp.asarray(db)))[:n])
             vol[idx] = np.concatenate(outs, 0)
         vols.append(jnp.asarray(vol.reshape(Dc, Dc, Dc, 4), jnp.bfloat16))
         sides.append(side)

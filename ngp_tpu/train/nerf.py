@@ -789,11 +789,26 @@ class NerfTrainer:
         else:
             n_u = occ.GRID_VOLUME // 4
             n_n = occ.GRID_VOLUME // 4
-        return occ.update_grid(
-            grid, density_fn, key, self.max_cascade,
-            decay=self.tcfg.density_grid_decay,
-            n_uniform=n_u, n_nonuniform=max(n_n, 1),
-            aabb_min=self.aabb_min, aabb_size=self.aabb_size)
+        # NGP_TPU_GRID_INT8=1: the grid sweep's ~1M density evals run the
+        # int8-forward encode (inference-only use; render-quality-neutral
+        # per the round-3 ablation, fwd 66->48 ms at 2^18). Trace-time
+        # toggle: the encoding reads NGP_TPU_ENCODE_INT8 while tracing.
+        import os as _os
+        prev = _os.environ.get("NGP_TPU_ENCODE_INT8")
+        if _os.environ.get("NGP_TPU_GRID_INT8"):
+            _os.environ["NGP_TPU_ENCODE_INT8"] = "fwd"
+        try:
+            return occ.update_grid(
+                grid, density_fn, key, self.max_cascade,
+                decay=self.tcfg.density_grid_decay,
+                n_uniform=n_u, n_nonuniform=max(n_n, 1),
+                aabb_min=self.aabb_min, aabb_size=self.aabb_size)
+        finally:
+            if _os.environ.get("NGP_TPU_GRID_INT8"):
+                if prev is None:
+                    _os.environ.pop("NGP_TPU_ENCODE_INT8", None)
+                else:
+                    _os.environ["NGP_TPU_ENCODE_INT8"] = prev
 
     # ------------------------------------------------------------------
     # init ray-budget probe

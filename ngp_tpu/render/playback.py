@@ -95,11 +95,21 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
     aabb_min = np.float32(trainer.aabb_min)
     aabb_size = np.float32(trainer.aabb_size)
 
-    @jax.jit
-    def eval_batch(pos, dirs):
+    eye_dev = jnp.asarray(ref_eye)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def eval_batch(idx, Dc, ax_dev, side):
+        # positions derived ON DEVICE from int32 voxel ids — shipping
+        # pos+dirs f32 through the tunnel was 10x the bytes
+        iz = idx // (Dc * Dc)
+        iy = (idx // Dc) % Dc
+        ix = idx % Dc
+        pos = jnp.stack([ax_dev[ix], ax_dev[iy], ax_dev[iz]], -1)
+        d = pos - eye_dev[None]
+        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
         pos01 = (pos - aabb_min) / aabb_size
         rgb, sigma = trainer.model.rgb_sigma(params, pos01,
-                                             dirs * 0.5 + 0.5, extra=extra)
+                                             d * 0.5 + 0.5, extra=extra)
         rgb = rgb.astype(jnp.float32)
         sigma = sigma.astype(jnp.float32)[:, None]
         return jnp.concatenate([rgb * sigma, sigma], -1)
@@ -129,26 +139,20 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
         idx = np.nonzero(occ_mask.reshape(-1))[0]
         vol = np.zeros((Dc * Dc * Dc, 4), np.float32)
         if idx.size:
-            iz, iy, ix = np.unravel_index(idx, (Dc, Dc, Dc))
-            pos = np.stack([ax[ix], ax[iy], ax[iz]], -1)
-            d = pos - ref_eye[None]
-            d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+            ax_dev = jnp.asarray(ax)
             outs = []
             for s in range(0, idx.size, batch):
-                pb = pos[s:s + batch]
-                db = d[s:s + batch]
-                n = pb.shape[0]
+                ib = idx[s:s + batch].astype(np.int32)
+                n = ib.shape[0]
                 if n < batch:
                     # pad the tail to the static batch shape: every
                     # distinct shape is a fresh XLA compile (minutes
                     # through the chip tunnel)
-                    pad = batch - n
-                    pb = np.concatenate([pb, np.zeros((pad, 3),
-                                                      np.float32)])
-                    db = np.concatenate([db, np.tile(
-                        np.float32([0, 0, 1]), (pad, 1))])
+                    ib = np.concatenate(
+                        [ib, np.zeros(batch - n, np.int32)])
                 outs.append(np.asarray(eval_batch(
-                    jnp.asarray(pb), jnp.asarray(db)))[:n])
+                    jnp.asarray(ib), Dc, ax_dev,
+                    np.float32(side)))[:n])
             vol[idx] = np.concatenate(outs, 0)
         vols.append(jnp.asarray(vol.reshape(Dc, Dc, Dc, 4), jnp.bfloat16))
         sides.append(side)
@@ -245,10 +249,10 @@ class PlaybackRenderer:
             v = self.cache.vols[ci]
             perm = _PERMS[axis]
             # storage is (worldZ, worldY, worldX, 4); the program wants
-            # (z', y', x', 4) where (x', y', z') = world axes ``perm``
-            t = (2 - perm[2], 2 - perm[1], 2 - perm[0], 3)
-            if t != (0, 1, 2, 3):
-                v = jnp.transpose(v, t)
+            # CHANNEL-SECOND (z', 4, y', x') — a minor-most dim of 4
+            # tile-pads 32-64x on TPU (HBM traffic, not just footprint)
+            t = (2 - perm[2], 3, 2 - perm[1], 2 - perm[0])
+            v = jnp.transpose(v, t)
             if flip:
                 v = v[::-1]
             self._vol_cache[key] = jax.device_put(v)
@@ -265,7 +269,7 @@ class PlaybackRenderer:
         def run(vol, zs, e, zref, prange, qrange, side, t_in, t_out):
             """Composite one cascade onto the (Q, P) ray grid.
 
-            vol     (D, D, D, 4)  slabs in t-ascending z' order
+            vol     (D, 4, D, D)  channel-second slabs, t-ascending z'
             zs      (D,)          z' of each slab center (ascending)
             e       (3,)          eye in permuted (flip-normalized) coords
             zref    ()            reference-plane z' (> e_z always)
@@ -274,7 +278,7 @@ class PlaybackRenderer:
             side    ()            cascade cube side
             t_in/t_out (Q, P)     inner-cube entry/exit per ray
                                   (+inf => innermost: everything front)
-            Returns (rgb_f, od_f, rgb_b, od_b) on the ray grid.
+            Returns (rgb_f (3,Q,P), od_f (Q,P), rgb_b, od_b).
             """
             p = prange[0] + (jnp.arange(P, dtype=jnp.float32) + 0.5) \
                 * prange[1]
@@ -291,7 +295,7 @@ class PlaybackRenderer:
 
             def block(carry, xs):
                 rgb_f, od_f, rgb_b, od_b = carry
-                slabs, z_blk = xs               # (zb, D, D, 4), (zb,)
+                slabs, z_blk = xs               # (zb, 4, D, D), (zb,)
                 # per-slice scale+translate onto the ray grid, as two
                 # interpolation matmuls (the MXU does the resampling)
                 s_k = (z_blk - e[2]) / dzr                     # (zb,)
@@ -308,18 +312,17 @@ class PlaybackRenderer:
 
                 Wx = weights(ux, D)                            # (zb, P, D)
                 Wy = weights(uy, D)                            # (zb, Q, D)
-                a = jnp.einsum("kqy,kyxc->kqxc", Wy,
+                a = jnp.einsum("kqy,kcyx->kcqx", Wy,
                                slabs.astype(jnp.bfloat16),
                                preferred_element_type=jnp.bfloat16)
-                smp = jnp.einsum("kpx,kqxc->kqpc", Wx, a,
+                smp = jnp.einsum("kpx,kcqx->kcqp", Wx, a,
                                  preferred_element_type=jnp.float32)
                 # composite the zb sub-slices front-to-back (elementwise
                 # chain, fused by XLA into one pass over the block)
                 for i in range(zb):
                     t_k = (z_blk[i] - e[2]) * norm             # (Q, P)
-                    sig = jnp.maximum(smp[i, :, :, 3], 0.0)
-                    rgb_k = smp[i, :, :, :3] \
-                        / jnp.maximum(sig, 1e-9)[..., None]
+                    sig = jnp.maximum(smp[i, 3], 0.0)
+                    rgb_k = smp[i, :3] / jnp.maximum(sig, 1e-9)[None]
                     od_k = sig * dt_img
                     live = t_k > t_near
                     f_m = live & (t_k < t_in)
@@ -328,17 +331,17 @@ class PlaybackRenderer:
                     od_kb = jnp.where(b_m, od_k, 0.0)
                     w_f = jnp.exp(-od_f) * (1.0 - jnp.exp(-od_kf))
                     w_b = jnp.exp(-od_b) * (1.0 - jnp.exp(-od_kb))
-                    rgb_f = rgb_f + w_f[..., None] * rgb_k
-                    rgb_b = rgb_b + w_b[..., None] * rgb_k
+                    rgb_f = rgb_f + w_f[None] * rgb_k
+                    rgb_b = rgb_b + w_b[None] * rgb_k
                     od_f = od_f + od_kf
                     od_b = od_b + od_kb
                 return (rgb_f, od_f, rgb_b, od_b), None
 
-            zeros3 = jnp.zeros((Q, P, 3), jnp.float32)
+            zeros3 = jnp.zeros((3, Q, P), jnp.float32)
             zeros1 = jnp.zeros((Q, P), jnp.float32)
             carry, _ = jax.lax.scan(
                 block, (zeros3, zeros1, zeros3, zeros1),
-                (vol.reshape(D // zb, zb, D, D, 4),
+                (vol.reshape(D // zb, zb, 4, D, D),
                  zs.reshape(D // zb, zb)))
             return carry
 
@@ -440,9 +443,9 @@ class PlaybackRenderer:
                                   prange0, qrange0, P0, Q0)
             rgb_b, od_b = _regrid(rgb_b, od_b, prange, qrange,
                                   prange0, qrange0, P0, Q0)
-            inner_rgb = comb_rgb + jnp.exp(-comb_od)[..., None] * rgb_b
+            inner_rgb = comb_rgb + jnp.exp(-comb_od)[None] * rgb_b
             inner_od = comb_od + od_b
-            comb_rgb = rgb_f + jnp.exp(-od_f)[..., None] * inner_rgb
+            comb_rgb = rgb_f + jnp.exp(-od_f)[None] * inner_rgb
             comb_od = od_f + inner_od
 
         img = _warp_to_screen(comb_rgb, comb_od, jnp.asarray(prange0),
@@ -460,10 +463,10 @@ class PlaybackRenderer:
 
 @functools.partial(jax.jit, static_argnums=(6, 7))
 def _regrid(rgb, od, prange_s, qrange_s, prange_d, qrange_d, P, Q):
-    """Bilinearly resample a (rgb, od) ray grid onto another grid of the
-    same ray parameterization (different resolution) — two interpolation
-    matmuls, the same trick as the slices."""
-    Qs, Ps = rgb.shape[0], rgb.shape[1]
+    """Bilinearly resample a (rgb (3,Q,P), od (Q,P)) ray grid onto
+    another grid of the same ray parameterization (different resolution)
+    — two interpolation matmuls, the same trick as the slices."""
+    Qs, Ps = rgb.shape[1], rgb.shape[2]
     pd = prange_d[0] + (jnp.arange(P, dtype=jnp.float32) + 0.5) \
         * prange_d[1]
     qd = qrange_d[0] + (jnp.arange(Q, dtype=jnp.float32) + 0.5) \
@@ -477,10 +480,10 @@ def _regrid(rgb, od, prange_s, qrange_s, prange_d, qrange_d, P, Q):
     # renormalize edge rows (clip would otherwise dim the borders)
     Wp = Wp / jnp.maximum(Wp.sum(-1, keepdims=True), 1e-9)
     Wq = Wq / jnp.maximum(Wq.sum(-1, keepdims=True), 1e-9)
-    x = jnp.concatenate([rgb, od[..., None]], -1)            # (Qs, Ps, 4)
-    a = jnp.einsum("qy,ypc->qpc", Wq, x)
-    b = jnp.einsum("px,qxc->qpc", Wp, a)
-    return b[..., :3], b[..., 3]
+    x = jnp.concatenate([rgb, od[None]], 0)                  # (4, Qs, Ps)
+    a = jnp.einsum("qy,cyp->cqp", Wq, x)
+    b = jnp.einsum("px,cqx->cqp", Wp, a)
+    return b[:3], b[3]
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 9, 10))
@@ -495,7 +498,10 @@ def _warp_to_screen(rgb, od, prange, qrange, P, Q, pq, dz_ok, bg, H, W):
     v0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, Q - 2)
     fu = (u - u0)[:, None]
     fv = (v - v0)[:, None]
-    x = jnp.concatenate([rgb, od[..., None]], -1).reshape(Q * P, 4)
+    # one transpose of the small final grid so the gather reads (N, 4)
+    # rows (the hot loop stays channel-first)
+    x = jnp.concatenate([rgb, od[None]], 0).transpose(1, 2, 0)
+    x = x.reshape(Q * P, 4)
     i00 = v0 * P + u0
     g = (jnp.take(x, i00, axis=0) * (1 - fu) * (1 - fv)
          + jnp.take(x, i00 + 1, axis=0) * fu * (1 - fv)

@@ -46,6 +46,11 @@ def main():
                    help="live-render A/B view at 1/k res (live 1080p "
                         "takes minutes; the A/B only needs equal frames)")
     p.add_argument("--skip_live", action="store_true")
+    p.add_argument("--skip_path", action="store_true")
+    p.add_argument("--save_cache", default="")
+    p.add_argument("--load_cache", default="")
+    p.add_argument("--dump", default="",
+                   help="prefix: write <p>_pb.png/<p>_live.png/<p>_gt.png")
     args = p.parse_args()
 
     import jax
@@ -66,13 +71,21 @@ def main():
     tr.load_snapshot_state(args.load_snapshot)
     print("snapshot step", tr.training_step, flush=True)
 
+    from ngp_tpu.render.playback import (load_playback_cache,
+                                         save_playback_cache)
     t0 = time.time()
-    cache = bake_playback_cache(tr, D=args.d, D_inner=args.d_inner)
-    occ_frac = [float((np.asarray(v[..., 3], np.float32) > 0).mean())
-                for v in cache.vols]
-    print("bake: %.1fs  (D=%d inner=%d, occ %s)" % (
-        time.time() - t0, args.d, args.d_inner,
-        ", ".join("%.3f" % f for f in occ_frac)), flush=True)
+    if args.load_cache and os.path.exists(args.load_cache):
+        cache = load_playback_cache(args.load_cache)
+        print("cache loaded: %.1fs" % (time.time() - t0), flush=True)
+    else:
+        cache = bake_playback_cache(tr, D=args.d, D_inner=args.d_inner)
+        occ_frac = [float((np.asarray(v[..., 3], np.float32) > 0).mean())
+                    for v in cache.vols]
+        print("bake: %.1fs  (D=%d inner=%d, occ %s)" % (
+            time.time() - t0, args.d, args.d_inner,
+            ", ".join("%.3f" % f for f in occ_frac)), flush=True)
+        if args.save_cache:
+            save_playback_cache(args.save_cache, cache)
 
     view = args.eval_view
     k = args.eval_scale
@@ -101,6 +114,13 @@ def main():
           flush=True)
     pb_srgb = linear_to_srgb_np(np.clip(img_p[..., :3], 0, 1))
     print("playback vs GT: %.2f dB" % psnr(pb_srgb, gt_srgb), flush=True)
+    if args.dump:
+        from ngp_tpu.data.image_io import save_stbi
+        save_stbi(args.dump + "_pb.png", img_p, from_linear=True)
+        save_stbi(args.dump + "_gt.png",
+                  np.concatenate([gt[yi][:, xi][..., :3],
+                                  np.ones((H, W, 1), np.float32)], -1),
+                  from_linear=True)
 
     if not args.skip_live:
         r_live = NerfRenderer.for_trainer(tr, RenderOptions(
@@ -114,6 +134,13 @@ def main():
             np.asarray(img_l)[..., :3], 0, 1))
         print("live vs GT: %.2f dB   playback vs live: %.2f dB" % (
             psnr(lv_srgb, gt_srgb), psnr(pb_srgb, lv_srgb)), flush=True)
+        if args.dump:
+            from ngp_tpu.data.image_io import save_stbi
+            save_stbi(args.dump + "_live.png", np.asarray(img_l),
+                      from_linear=True)
+
+    if args.skip_path:
+        return
 
     # camera-path playback at full target resolution
     Wt, Ht = args.width, args.height

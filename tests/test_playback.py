@@ -250,3 +250,61 @@ def test_bake_and_roundtrip(tmp_path):
     assert len(c2.vols) == len(cache.vols)
     np.testing.assert_allclose(
         np.asarray(c2.vols[0], np.float32), v0, atol=1e-2)
+
+
+class _AnalyticModel:
+    """Fake NerfNetwork with an analytic field: rgb depends on position,
+    sigma is a soft box — catches bake-storage/render-axis inconsistency
+    end to end (the brute force samples the BAKED volume, so any axis
+    mismatch between bake and render shows up as misregistration)."""
+
+    def rgb_sigma(self, params, pos01, dir01, extra=None):
+        import jax.numpy as jnp
+        p = pos01
+        rgb = jnp.stack([p[:, 0], p[:, 1], p[:, 2]], -1)
+        inside = ((p > 0.30) & (p < 0.55)).all(-1)
+        # asymmetric second blob along x only (breaks axis symmetry)
+        blob = ((p[:, 0] > 0.6) & (p[:, 0] < 0.8)
+                & (abs(p[:, 1] - 0.45) < 0.1)
+                & (abs(p[:, 2] - 0.5) < 0.08))
+        sigma = 25.0 * inside + 40.0 * blob
+        return rgb, sigma
+
+
+def test_bake_geometry_matches_brute_force():
+    """bake_playback_cache + PlaybackRenderer on an analytic model ==
+    brute-force sampling of the same baked volumes, for an eye OUTSIDE
+    and an eye INSIDE the scene (fox cameras sit inside cascade 0)."""
+    import types
+
+    import jax.numpy as jnp
+    from ngp_tpu.grid import occupancy as occ
+    from ngp_tpu.render.playback import bake_playback_cache
+
+    tr = types.SimpleNamespace()
+    tr.model = _AnalyticModel()
+    tr.max_cascade = 0
+    tr.aabb_min = np.float32(0.0)
+    tr.aabb_size = np.float32(1.0)
+    tr.params = {}
+    tr.opt_state = None
+    tr.opt_cfg = None
+    tr.dataset = types.SimpleNamespace(
+        xforms=np.eye(4, dtype=np.float32)[None, :3])
+    tr.grid = types.SimpleNamespace(
+        bitfield=np.full((occ.NERF_CASCADES * occ.GRID_VOLUME // 8,),
+                         255, np.uint8))
+    cache = bake_playback_cache(tr, D=48, params={},
+                                ref_eye=np.float32([0.5, 0.5, -1.0]))
+    assert (np.asarray(cache.vols[0], np.float32)[..., 3] > 0).any()
+
+    W = H = 40
+    for eye in [(0.5, 0.45, -1.3), (0.42, 0.52, 0.47)]:
+        xf = _lookat_xform(eye, target=(0.55, 0.5, 0.5))
+        r = PlaybackRenderer(cache, PlaybackOptions(
+            width=W, height=H, int_scale=2.0))
+        img = r.render(xf, W, H, focal=(44.0, 44.0))
+        ref = _brute_force(cache, xf, W, H, 44.0, 44.0)
+        assert np.isfinite(img).all()
+        err = float(np.abs(img - ref).mean())
+        assert err < 8e-3, (eye, err)

@@ -116,7 +116,11 @@ def main():
     meta = {
         "camera_angle_x": 2 * math.atan(W / (2 * fl)),
         "fl_x": fl, "fl_y": fl, "cx": W / 2, "cy": H / 2,
-        "w": W, "h": H, "aabb_scale": 1,
+        # aabb_scale 2 turns cone stepping on (cone_angle_for) so a
+        # CPU-scale march_steps still covers the whole camera-to-scene
+        # range — at aabb_scale 1 the lattice is uniform dt=sqrt(3)/1024
+        # and 192 steps span only 0.32 world units
+        "w": W, "h": H, "aabb_scale": 2,
     }
     train_idx = list(range(args.views))
     test_idx = list(range(args.views, args.views + args.test_views))

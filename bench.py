@@ -36,6 +36,10 @@ CHILD = r"""
 import json, os, time
 import numpy as np
 os.environ["NGP_TPU_GRID_IMPL"] = "blocked"
+# int8-forward encode for the grid sweep's ~1M density evals (inference
+# only — the training step keeps exact bf16; round-3 ablation: int8 fwd
+# is render-quality-neutral, fwd 66->48 ms at 2^18)
+os.environ.setdefault("NGP_TPU_GRID_INT8", "1")
 # persistent XLA compile cache: tunnel compiles can run minutes; the cache
 # amortizes them across bench invocations on the same machine
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")

@@ -308,3 +308,55 @@ def test_bake_geometry_matches_brute_force():
         assert np.isfinite(img).all()
         err = float(np.abs(img - ref).mean())
         assert err < 8e-3, (eye, err)
+
+
+def test_bake_geometry_multicascade():
+    """Same end-to-end check with max_cascade=1 (content in both
+    cascades, aabb_scale=2 world mapping like fox-class scenes)."""
+    import types
+
+    from ngp_tpu.grid import occupancy as occ
+    from ngp_tpu.render.playback import bake_playback_cache
+
+    class _M:
+        def rgb_sigma(self, params, pos01, dir01, extra=None):
+            import jax.numpy as jnp
+            # pos01 normalized by aabb [-0.5, 1.5] (scale 2): recover
+            # world pos
+            p = pos01 * 2.0 - 0.5
+            rgb = jnp.stack([0.2 + 0.6 * p[:, 0] / 2.0,
+                             jnp.full_like(p[:, 0], 0.5),
+                             0.8 - 0.3 * p[:, 2] / 2.0], -1)
+            inner = (abs(p - 0.5) < 0.22).all(-1)
+            shell = ((abs(p - 0.5) < 0.9).all(-1)
+                     & (abs(p[:, 0] - 0.5) > 0.6))
+            sigma = 30.0 * inner + 12.0 * shell
+            return jnp.clip(rgb, 0, 1), sigma
+
+    tr = types.SimpleNamespace()
+    tr.model = _M()
+    tr.max_cascade = 1
+    tr.aabb_min = np.float32(-0.5)
+    tr.aabb_size = np.float32(2.0)
+    tr.params = {}
+    tr.opt_state = None
+    tr.opt_cfg = None
+    tr.dataset = types.SimpleNamespace(
+        xforms=np.eye(4, dtype=np.float32)[None, :3])
+    tr.grid = types.SimpleNamespace(
+        bitfield=np.full((occ.NERF_CASCADES * occ.GRID_VOLUME // 8,),
+                         255, np.uint8))
+    cache = bake_playback_cache(tr, D=40, params={},
+                                ref_eye=np.float32([0.5, 0.5, -1.0]))
+    assert (np.asarray(cache.vols[1], np.float32)[..., 3] > 0).any()
+
+    W = H = 36
+    for eye in [(0.5, 0.48, -0.2), (0.55, 0.5, 0.52)]:
+        xf = _lookat_xform(eye, target=(0.5, 0.52, 0.55))
+        r = PlaybackRenderer(cache, PlaybackOptions(
+            width=W, height=H, int_scale=2.0, outer_int_scale=2.0))
+        img = r.render(xf, W, H, focal=(40.0, 40.0))
+        ref = _brute_force(cache, xf, W, H, 40.0, 40.0)
+        err = float(np.abs(img - ref).mean())
+        assert np.isfinite(img).all()
+        assert err < 1e-2, (eye, err)

@@ -526,6 +526,61 @@ class Testbed:
                                      for k in range(3)], np.float32)
                 + m[:, 3] for i in range(8)]
 
+    # -- frozen-model playback ------------------------------------------
+
+    def bake_playback(self, D: int = 256, D_inner: int = 512,
+                      path: str = ""):
+        """Distill the trained NeRF into the dense playback cache
+        (render/playback.py) for interactive camera-path frames — the
+        TPU answer to the reference's "tens of ms at 1080p" playback of
+        trained scenes (ref: docs/index.html:317)."""
+        from ngp_tpu.render.playback import (bake_playback_cache,
+                                             save_playback_cache)
+        self._playback_cache = bake_playback_cache(self.trainer, D=D,
+                                                   D_inner=D_inner)
+        self._playback_renderers = {}
+        if path:
+            save_playback_cache(path, self._playback_cache)
+
+    def load_playback(self, path: str):
+        from ngp_tpu.render.playback import load_playback_cache
+        self._playback_cache = load_playback_cache(path)
+        self._playback_renderers = {}
+
+    def render_playback(self, width: int, height: int,
+                        start_time: float = -1.0) -> np.ndarray:
+        """Camera-path frame from the playback cache (pinhole + OpenCV
+        lens; DoF/rolling-shutter frames fall back to render())."""
+        from ngp_tpu.render.playback import (PlaybackOptions,
+                                             PlaybackRenderer)
+        if getattr(self, "_playback_cache", None) is None:
+            self.bake_playback()
+        if start_time >= 0.0 and self.camera_path is not None:
+            kf = self.camera_path.eval(start_time)
+            self.camera_matrix = kf.to_matrix()
+        ds = self.nerf.training.dataset
+        lens = (0.0, 0.0, 0.0, 0.0)
+        lmode = "perspective"
+        principal = (0.5, 0.5)
+        if ds is not None:
+            if self.nerf.render_with_lens_distortion and ds.lens_is_opencv:
+                lens = tuple(float(x) for x in ds.lens_params[0][:4])
+                lmode = "opencv"
+            if getattr(ds, "principal", None) is not None:
+                principal = tuple(float(x) for x in ds.principal[0])
+        key = (width, height, lens, lmode, principal,
+               tuple(self.background_color))
+        r = self._playback_renderers.get(key)
+        if r is None:
+            r = PlaybackRenderer(self._playback_cache, PlaybackOptions(
+                width=width, height=height, principal=principal,
+                lens_params=lens, lens_mode=lmode,
+                background=tuple(self.background_color), linear_out=True))
+            self._playback_renderers[key] = r
+        focal = getattr(self, "_view_focal", np.array([height, height]))
+        return r.render(self.camera_matrix, width, height,
+                        focal=(float(focal[0]), float(focal[1])))
+
     # -- rendering ----------------------------------------------------------
 
     def render(self, width: int, height: int, spp: int = 1,

@@ -66,6 +66,10 @@ def parse_args():
     p.add_argument("--video_n_seconds", type=int, default=1)
     p.add_argument("--video_spp", type=int, default=8)
     p.add_argument("--video_output", default="video.mp4")
+    p.add_argument("--video_playback", action="store_true",
+                   help="render the camera path from the baked playback "
+                        "cache (frozen-model fast path) instead of the "
+                        "live network")
     p.add_argument("--nerf_compatibility", action="store_true",
                    help="upstream instant-ngp semantics: sRGB colors, cone "
                         "angle 0, world scale 0.33/offset .5 (ref: "
@@ -247,11 +251,16 @@ def render_video(testbed, args):
     H = args.height or 1080
     tmp = Path("tmp_video_frames")
     tmp.mkdir(exist_ok=True)
+    if args.video_playback:
+        testbed.bake_playback()
     for i in range(n_frames):
         t = i / max(n_frames - 1, 1)
-        img = testbed.render(W, H, spp=args.video_spp, linear=True,
-                             start_time=t, end_time=t, fps=args.video_fps,
-                             shutter_fraction=0.5)
+        if args.video_playback:
+            img = testbed.render_playback(W, H, start_time=t)
+        else:
+            img = testbed.render(W, H, spp=args.video_spp, linear=True,
+                                 start_time=t, end_time=t,
+                                 fps=args.video_fps, shutter_fraction=0.5)
         write_image(tmp / f"{i:04d}.jpg", img)
         print(f"video frame {i + 1}/{n_frames}")
     if shutil.which("ffmpeg"):

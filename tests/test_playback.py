@@ -360,3 +360,43 @@ def test_bake_geometry_multicascade():
         err = float(np.abs(img - ref).mean())
         assert np.isfinite(img).all()
         assert err < 1e-2, (eye, err)
+
+
+@pytest.mark.slow
+def test_testbed_playback_roundtrip(tmp_path):
+    """Testbed.bake_playback + render_playback runs end to end on a tiny
+    in-memory scene (the Blender flow) and round-trips save/load."""
+    from ngp_tpu.api.testbed import Testbed
+    from ngp_tpu.common import TestbedMode
+
+    tb = Testbed(TestbedMode.NERF)
+    tb.reload_network_from_json({
+        "encoding": {"otype": "HashGrid", "n_levels": 4,
+                     "log2_hashmap_size": 12},
+        "network": {"otype": "FullyFusedMLP", "n_neurons": 16,
+                    "n_hidden_layers": 1},
+        "rgb_network": {"n_neurons": 16, "n_hidden_layers": 1},
+        "optimizer": {"otype": "Adam", "learning_rate": 1e-2},
+        "loss": {"otype": "Huber"},
+    })
+    tb.create_empty_nerf_dataset(n_images=2, aabb_scale=1)
+    img = np.zeros((16, 16, 4), np.float32)
+    img[4:12, 4:12] = (0.8, 0.2, 0.1, 1.0)
+    xf = np.eye(4, dtype=np.float32)[:3]
+    xf[2, 3] = -2.0
+    for i in range(2):
+        tb.set_image(i, img, xf)
+    tb.nerf.training.n_images_for_training = 2
+    tb.training_batch_size = 1 << 10
+    tb.shall_train = True
+    for _ in range(3):
+        tb.frame()
+    tb.set_camera_to_training_view(0)
+    live = tb.render(16, 16, spp=1, linear=True)
+    tb.bake_playback(D=24, D_inner=24, path=str(tmp_path / "pb.npz"))
+    pb = tb.render_playback(16, 16)
+    assert pb.shape == live.shape
+    assert np.isfinite(pb).all()
+    tb.load_playback(str(tmp_path / "pb.npz"))
+    pb2 = tb.render_playback(16, 16)
+    np.testing.assert_allclose(pb2, pb, atol=1e-2)

@@ -266,29 +266,32 @@ class PlaybackRenderer:
             return self._program_cache[key]
         t_near = float(self.opts.t_start_min)
 
-        def run(vol, zs, e, zref, prange, qrange, side, t_in, t_out):
+        def run(vol, zs, e, prange, qrange, side, t_in, t_out):
             """Composite one cascade onto the (Q, P) ray grid.
 
             vol     (D, 4, D, D)  channel-second slabs, t-ascending z'
             zs      (D,)          z' of each slab center (ascending)
             e       (3,)          eye in permuted (flip-normalized) coords
-            zref    ()            reference-plane z' (> e_z always)
-            prange  (2,)          [pmin, dp] of the ray-grid x' coords
-            qrange  (2,)          [qmin, dq]
+            prange  (2,)          [alpha_min, d_alpha] of the ray grid
+            qrange  (2,)          [beta_min, d_beta]
             side    ()            cascade cube side
             t_in/t_out (Q, P)     inner-cube entry/exit per ray
                                   (+inf => innermost: everything front)
             Returns (rgb_f (3,Q,P), od_f (Q,P), rgb_b, od_b).
             """
-            p = prange[0] + (jnp.arange(P, dtype=jnp.float32) + 0.5) \
+            # ANGLE-uniform ray grid: grid cell i holds the ray with
+            # tan(alpha_i) slope along x'. A plane-uniform grid blows up
+            # as 1/d_z for oblique rays (fox's 53-degree half-FOV maps
+            # the frame to |pq| up to ~80 while the content sits in
+            # |pq|~2, collapsing effective resolution); the two-matmul
+            # resample only needs SEPARABILITY x(i,k), y(j,k) — not an
+            # affine map — so tan() grids cost nothing.
+            alpha = prange[0] + (jnp.arange(P, dtype=jnp.float32) + 0.5) \
                 * prange[1]
-            q = qrange[0] + (jnp.arange(Q, dtype=jnp.float32) + 0.5) \
+            beta = qrange[0] + (jnp.arange(Q, dtype=jnp.float32) + 0.5) \
                 * qrange[1]
-            dzr = zref - e[2]                                  # > 0
-            # ray through grid point (p, q): direction ∝ (rx, ry, 1);
-            # world t of a point at height z' is (z' - e_z) * norm
-            rx = (p[None, :] - e[0]) / dzr                     # (1, P)
-            ry = (q[:, None] - e[1]) / dzr                     # (Q, 1)
+            rx = jnp.tan(alpha)[None, :]                       # (1, P)
+            ry = jnp.tan(beta)[:, None]                        # (Q, 1)
             norm = jnp.sqrt(rx * rx + ry * ry + 1.0)           # (Q, P)
             vox = side / D
             dt_img = vox * norm                                # (Q, P)
@@ -296,11 +299,11 @@ class PlaybackRenderer:
             def block(carry, xs):
                 rgb_f, od_f, rgb_b, od_b = carry
                 slabs, z_blk = xs               # (zb, 4, D, D), (zb,)
-                # per-slice scale+translate onto the ray grid, as two
+                # per-slice separable map onto the ray grid, as two
                 # interpolation matmuls (the MXU does the resampling)
-                s_k = (z_blk - e[2]) / dzr                     # (zb,)
-                xs_w = e[0] + (p[None, :] - e[0]) * s_k[:, None]
-                ys_w = e[1] + (q[None, :] - e[1]) * s_k[:, None]
+                h_k = (z_blk - e[2])                           # (zb,)
+                xs_w = e[0] + rx[0][None, :] * h_k[:, None]
+                ys_w = e[1] + ry[:, 0][None, :] * h_k[:, None]
                 lo = 0.5 - side / 2
                 ux = (xs_w - lo) / vox - 0.5                   # (zb, P)
                 uy = (ys_w - lo) / vox - 0.5                   # (zb, Q)
@@ -378,13 +381,13 @@ class PlaybackRenderer:
             d_p[:, 2] = -d_p[:, 2]
 
         n_casc = len(self.cache.vols)
-        side_max = self.cache.sides[-1]
-        zref = np.float32(e[2] + side_max)
         dz_ok = d_p[:, 2] > opts.min_dz
         safe_dz = np.where(dz_ok, d_p[:, 2], 1.0)
-        t_ref = (zref - e[2]) / safe_dz
-        pq = e[None, :2] + t_ref[:, None] * d_p[:, :2]       # (HW, 2)
-        sel = pq[dz_ok] if dz_ok.any() else pq
+        # angle-uniform ray coordinates (see _program): bounded even for
+        # near-horizontal rays, so oblique pixels can't stretch the grid
+        ab = np.stack([np.arctan(d_p[:, 0] / safe_dz),
+                       np.arctan(d_p[:, 1] / safe_dz)], -1)   # (HW, 2)
+        sel = ab[dz_ok] if dz_ok.any() else ab
         pmin, pmax = float(sel[:, 0].min()), float(sel[:, 0].max())
         qmin, qmax = float(sel[:, 1].min()), float(sel[:, 1].max())
 
@@ -405,13 +408,12 @@ class PlaybackRenderer:
                 t_out = np.full((Q, P), np.inf, np.float32)
             else:
                 # inner-cube entry/exit per grid ray (world-unit t)
-                pg = prange[0] + (np.arange(P, dtype=np.float32) + 0.5) \
+                ag = prange[0] + (np.arange(P, dtype=np.float32) + 0.5) \
                     * prange[1]
-                qg = qrange[0] + (np.arange(Q, dtype=np.float32) + 0.5) \
+                bg_ = qrange[0] + (np.arange(Q, dtype=np.float32) + 0.5) \
                     * qrange[1]
-                dzr = float(zref - e[2])
-                rx = np.broadcast_to((pg[None, :] - e[0]) / dzr, (Q, P))
-                ry = np.broadcast_to((qg[:, None] - e[1]) / dzr, (Q, P))
+                rx = np.broadcast_to(np.tan(ag)[None, :], (Q, P))
+                ry = np.broadcast_to(np.tan(bg_)[:, None], (Q, P))
                 nrm = np.sqrt(rx * rx + ry * ry + 1.0)
                 dirs = np.stack([rx / nrm, ry / nrm, 1.0 / nrm], -1)
                 s_in = self.cache.sides[ci - 1]
@@ -428,7 +430,7 @@ class PlaybackRenderer:
 
             fn = self._program(D, P, Q, opts.zb)
             res = fn(vol, jnp.asarray(zs), jnp.asarray(e, jnp.float32),
-                     jnp.float32(zref), jnp.asarray(prange),
+                     jnp.asarray(prange),
                      jnp.asarray(qrange), jnp.float32(side),
                      jnp.asarray(t_in), jnp.asarray(t_out))
             grids.append((res, P, Q, prange, qrange))
@@ -450,7 +452,7 @@ class PlaybackRenderer:
 
         img = _warp_to_screen(comb_rgb, comb_od, jnp.asarray(prange0),
                               jnp.asarray(qrange0), P0, Q0,
-                              jnp.asarray(pq), jnp.asarray(dz_ok),
+                              jnp.asarray(ab), jnp.asarray(dz_ok),
                               jnp.asarray(opts.background, jnp.float32),
                               H, W)
         img = np.asarray(img, np.float32)

@@ -140,7 +140,7 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
         vol = np.zeros((Dc * Dc * Dc, 4), np.float32)
         if idx.size:
             ax_dev = jnp.asarray(ax)
-            outs = []
+            handles = []          # enqueue ALL batches, fetch afterwards
             for s in range(0, idx.size, batch):
                 ib = idx[s:s + batch].astype(np.int32)
                 n = ib.shape[0]
@@ -150,10 +150,10 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
                     # through the chip tunnel)
                     ib = np.concatenate(
                         [ib, np.zeros(batch - n, np.int32)])
-                outs.append(np.asarray(eval_batch(
-                    jnp.asarray(ib), Dc, ax_dev,
-                    np.float32(side)))[:n])
-            vol[idx] = np.concatenate(outs, 0)
+                handles.append((n, eval_batch(
+                    jnp.asarray(ib), Dc, ax_dev, np.float32(side))))
+            vol[idx] = np.concatenate(
+                [np.asarray(h)[:n] for n, h in handles], 0)
         vols.append(jnp.asarray(vol.reshape(Dc, Dc, Dc, 4), jnp.bfloat16))
         sides.append(side)
     return PlaybackCache(vols=tuple(vols), sides=tuple(sides))

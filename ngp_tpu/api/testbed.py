@@ -732,6 +732,10 @@ class Testbed:
             principal = tuple(float(x) for x in ds.principal[0])
         opts = RenderOptions(
             width=width, height=height,
+            # march what training marched: a renderer marching FURTHER
+            # than the trainer integrates sigma in never-supervised
+            # range (fog; bit the CPU-scale synthetic holdout runs)
+            march_steps=int(self.trainer.tcfg.march_steps),
             fov_axis_focal=getattr(self, "_view_focal", [height, height])[0],
             principal=principal,
             background=tuple(self.background_color), linear_out=True,

@@ -55,9 +55,10 @@ class PlaybackCache(NamedTuple):
     occupancy boundaries is a density-weighted color average instead of
     a bleed toward black), covering the cube centered at 0.5 with side
     2^c (the occupancy cascade convention, ref: mip_from_pos /
-    src/testbed_nerf.cu grid cascades); voxels owned by a finer cascade
-    (center inside the side-2^(c-1) cube) are zeroed so nested
-    compositing never double-counts.
+    src/testbed_nerf.cu grid cascades). The region covered by a finer
+    cascade keeps its values — the renderer's per-ray front/back split
+    excludes that t-interval exactly, and live boundary values keep the
+    trilinear taps at cascade seams correct.
     """
     vols: tuple            # per-cascade (D, D, D, 4) arrays
     sides: tuple           # per-cascade world cube side (2^c)
@@ -120,22 +121,28 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
         Dc = D_inner if (c == 0 and D_inner) else D
         ax = _cascade_lattice(Dc, side)
         # occupancy ownership per voxel: its 128^3 cell bit at mip c
-        cell = np.minimum((np.arange(Dc) * occ.NERF_GRIDSIZE) // Dc,
+        # small dtypes + per-axis factorization: a naive (Dc,Dc,Dc) int64
+        # broadcast at Dc=512 allocates multiple 1 GB temps and swaps the
+        # single-core host for minutes
+        cell = np.minimum((np.arange(Dc, dtype=np.uint32)
+                           * occ.NERF_GRIDSIZE) // Dc,
                           occ.NERF_GRIDSIZE - 1)
         lvl = bitfield[c * (occ.GRID_VOLUME // 8):
                        (c + 1) * (occ.GRID_VOLUME // 8)]
-        byte = ((cell[:, None, None] >> 1) * occ.GH
-                + (cell[None, :, None] >> 1)) * occ.GH \
-            + (cell[None, None, :] >> 1)                       # (z, y, x)
-        bit = ((cell[None, None, :] & 1)
-               | ((cell[None, :, None] & 1) << 1)
-               | ((cell[:, None, None] & 1) << 2))
-        occ_mask = (lvl[byte] >> bit.astype(np.uint8)) & 1 > 0
-        if c > 0:
-            # zero voxels owned by the finer cascade (|p-0.5|inf < side/4)
-            inner = np.abs(ax - 0.5) < side / 4 - 1e-9
-            occ_mask &= ~(inner[:, None, None] & inner[None, :, None]
-                          & inner[None, None, :])
+        half = (cell >> 1).astype(np.uint32)
+        byte = ((half[:, None, None] * occ.GH
+                 + half[None, :, None]) * occ.GH
+                + half[None, None, :])                         # (z, y, x)
+        par = (cell & 1).astype(np.uint8)
+        bit = (par[None, None, :] | (par[None, :, None] << 1)
+               | (par[:, None, None] << 2))
+        occ_mask = (lvl[byte] >> bit) & 1 > 0
+        del byte, bit
+        # NOTE: voxels inside the finer cascade's cube are KEPT (not
+        # zeroed): the renderer's per-ray front/back split already
+        # excludes the inner t-interval exactly, and live boundary
+        # values make trilinear taps near the cascade seam correct
+        # instead of bleeding to zero (a half-voxel dark band otherwise)
         idx = np.nonzero(occ_mask.reshape(-1))[0]
         vol = np.zeros((Dc * Dc * Dc, 4), np.float32)
         if idx.size:

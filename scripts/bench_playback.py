@@ -49,6 +49,10 @@ def main():
     p.add_argument("--skip_path", action="store_true")
     p.add_argument("--save_cache", default="")
     p.add_argument("--load_cache", default="")
+    p.add_argument("--ref_view", type=int, default=-1,
+                   help="bake rgb toward this training view's camera "
+                        "instead of the mean camera (view-dependence "
+                        "ablation)")
     p.add_argument("--dump", default="",
                    help="prefix: write <p>_pb.png/<p>_live.png/<p>_gt.png")
     args = p.parse_args()
@@ -78,7 +82,10 @@ def main():
         cache = load_playback_cache(args.load_cache)
         print("cache loaded: %.1fs" % (time.time() - t0), flush=True)
     else:
-        cache = bake_playback_cache(tr, D=args.d, D_inner=args.d_inner)
+        ref_eye = None if args.ref_view < 0 else \
+            np.asarray(ds.xforms[args.ref_view][:, 3])
+        cache = bake_playback_cache(tr, D=args.d, D_inner=args.d_inner,
+                                    ref_eye=ref_eye)
         occ_frac = [float((np.asarray(v[..., 3], np.float32) > 0).mean())
                     for v in cache.vols]
         print("bake: %.1fs  (D=%d inner=%d, occ %s)" % (

@@ -239,7 +239,13 @@ def test_bake_and_roundtrip(tmp_path):
     v0 = np.asarray(cache.vols[0], np.float32)
     v1 = np.asarray(cache.vols[1], np.float32)
     assert (v0[..., 3] > 0).any()          # cascade 0 fully occupied
-    assert not (v1[..., 3] != 0).any()     # cascade 1 empty bitfield
+    # cascade 1's own cells are empty; only the mip-pooled bits over the
+    # cascade-0 region may carry values (kept for seam-correct taps)
+    D1 = v1.shape[0]
+    q = (np.arange(D1) + 0.5) / D1
+    outer = np.abs(q - 0.5) >= 0.25
+    m = outer[:, None, None] | outer[None, :, None] | outer[None, None, :]
+    assert not (v1[..., 3][m] != 0).any()
     # render a frame end to end
     r = PlaybackRenderer(cache, PlaybackOptions(width=16, height=16))
     img = r.render(ds.xforms[0], 16, 16, focal=(20.0, 20.0))

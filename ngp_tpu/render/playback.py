@@ -59,9 +59,43 @@ class PlaybackCache(NamedTuple):
     cascade keeps its values — the renderer's per-ray front/back split
     excludes that t-interval exactly, and live boundary values keep the
     trilinear taps at cascade seams correct.
+
+    With ``sh_degree`` >= 1 the color channels hold sigma-premultiplied
+    SPHERICAL-HARMONIC coefficients instead of a single diffuse rgb:
+    channels [c_0 rgb, c_1 rgb, ..., sigma] with rgb(d) = sum_b c_b
+    Y_b(d) (the plenoxels-style distillation of the MLP's view
+    dependence — a single-direction bake misrenders surfaces whose
+    training-dir coverage is narrow, e.g. fox's walls).
     """
-    vols: tuple            # per-cascade (D, D, D, 4) arrays
+    vols: tuple            # per-cascade (D, D, D, 3B+1) arrays
     sides: tuple           # per-cascade world cube side (2^c)
+    sh_degree: int = 0     # 0 = diffuse (B=1), L -> B=(L+1)^2 coeffs
+
+
+def sh_basis(dirs: np.ndarray, degree: int) -> np.ndarray:
+    """Real spherical harmonics up to degree 2 evaluated at unit dirs
+    (..., 3) → (..., (degree+1)^2). Standard constants."""
+    x, y, zc = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [np.full_like(x, 0.282095)]
+    if degree >= 1:
+        out += [0.488603 * y, 0.488603 * zc, 0.488603 * x]
+    if degree >= 2:
+        out += [1.092548 * x * y, 1.092548 * y * zc,
+                0.315392 * (3 * zc * zc - 1.0),
+                1.092548 * x * zc,
+                0.546274 * (x * x - y * y)]
+    if degree >= 3:
+        raise ValueError("sh_degree <= 2 supported")
+    return np.stack(out, -1).astype(np.float32)
+
+
+def _fibonacci_dirs(m: int) -> np.ndarray:
+    i = np.arange(m, dtype=np.float64) + 0.5
+    phi = np.pi * (1 + 5 ** 0.5) * i
+    z = 1 - 2 * i / m
+    r = np.sqrt(np.maximum(1 - z * z, 0))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z],
+                    -1).astype(np.float32)
 
 
 def _cascade_lattice(D: int, side: float) -> np.ndarray:
@@ -74,15 +108,18 @@ def _cascade_lattice(D: int, side: float) -> np.ndarray:
 
 def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
                         params=None, ref_eye=None, batch: int = 1 << 17,
-                        extra=None) -> PlaybackCache:
+                        extra=None, sh_degree: int = 0,
+                        sh_dirs: int = 0) -> PlaybackCache:
     """Evaluate the trained field on dense cascade lattices.
 
     Only voxels whose occupancy-grid cell bit is set are evaluated (the
     rest stay zero) — on typical scenes that is a few percent of the
     lattice, so even a 512^3 inner cascade bakes in seconds of device
-    time. View-dependence is baked diffuse: rgb is evaluated toward
-    ``ref_eye`` (default: the mean training-camera position), the
-    classic NeRF->voxel distillation approximation.
+    time. View-dependence: ``sh_degree`` 0 bakes diffuse rgb toward
+    ``ref_eye`` (default: the mean training-camera position); degree
+    L >= 1 least-squares fits (L+1)^2 spherical-harmonic coefficients
+    from ``sh_dirs`` (default 2x the basis size) Fibonacci directions —
+    the distillation that survives narrow training-dir coverage.
     """
     from ngp_tpu.opt.optimizers import inference_params
     if params is None:
@@ -97,6 +134,13 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
     aabb_size = np.float32(trainer.aabb_size)
 
     eye_dev = jnp.asarray(ref_eye)
+    B = (sh_degree + 1) ** 2 if sh_degree else 1
+    if sh_degree:
+        M = sh_dirs or max(2 * B, 12)
+        dirs_m = _fibonacci_dirs(M)                       # (M, 3)
+        Y = sh_basis(dirs_m, sh_degree)                   # (M, B)
+        pinv = jnp.asarray(np.linalg.pinv(Y))             # (B, M)
+        dirs_dev = jnp.asarray(dirs_m)
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def eval_batch(idx, Dc, ax_dev, side):
@@ -106,9 +150,23 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
         iy = (idx // Dc) % Dc
         ix = idx % Dc
         pos = jnp.stack([ax_dev[ix], ax_dev[iy], ax_dev[iz]], -1)
+        pos01 = (pos - aabb_min) / aabb_size
+        n = pos.shape[0]
+        if sh_degree:
+            # rgb at M directions -> least-squares SH coefficients
+            outs = []
+            for m in range(dirs_dev.shape[0]):
+                dm = jnp.broadcast_to(dirs_dev[m], (n, 3))
+                rgb_m, sigma = trainer.model.rgb_sigma(
+                    params, pos01, dm * 0.5 + 0.5, extra=extra)
+                outs.append(rgb_m.astype(jnp.float32))
+            rgbs = jnp.stack(outs, 1)                     # (n, M, 3)
+            coef = jnp.einsum("bm,nmc->nbc", pinv, rgbs)  # (n, B, 3)
+            sigma = sigma.astype(jnp.float32)[:, None]
+            return jnp.concatenate(
+                [coef.reshape(n, 3 * B) * sigma, sigma], -1)
         d = pos - eye_dev[None]
         d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
-        pos01 = (pos - aabb_min) / aabb_size
         rgb, sigma = trainer.model.rgb_sigma(params, pos01,
                                              d * 0.5 + 0.5, extra=extra)
         rgb = rgb.astype(jnp.float32)
@@ -144,7 +202,8 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
         # values make trilinear taps near the cascade seam correct
         # instead of bleeding to zero (a half-voxel dark band otherwise)
         idx = np.nonzero(occ_mask.reshape(-1))[0]
-        vol = np.zeros((Dc * Dc * Dc, 4), np.float32)
+        C = 3 * B + 1
+        vol = np.zeros((Dc * Dc * Dc, C), np.float32)
         if idx.size:
             ax_dev = jnp.asarray(ax)
             handles = []          # enqueue ALL batches, fetch afterwards
@@ -161,14 +220,16 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
                     jnp.asarray(ib), Dc, ax_dev, np.float32(side))))
             vol[idx] = np.concatenate(
                 [np.asarray(h)[:n] for n, h in handles], 0)
-        vols.append(jnp.asarray(vol.reshape(Dc, Dc, Dc, 4), jnp.bfloat16))
+        vols.append(jnp.asarray(vol.reshape(Dc, Dc, Dc, C), jnp.bfloat16))
         sides.append(side)
-    return PlaybackCache(vols=tuple(vols), sides=tuple(sides))
+    return PlaybackCache(vols=tuple(vols), sides=tuple(sides),
+                         sh_degree=sh_degree)
 
 
 def save_playback_cache(path: str, cache: PlaybackCache):
     np.savez_compressed(path, n=len(cache.vols),
                         sides=np.asarray(cache.sides, np.float32),
+                        sh_degree=int(cache.sh_degree),
                         **{f"vol{i}": np.asarray(v, np.float32)
                            for i, v in enumerate(cache.vols)})
 
@@ -179,7 +240,8 @@ def load_playback_cache(path: str) -> PlaybackCache:
     return PlaybackCache(
         vols=tuple(jnp.asarray(z[f"vol{i}"], jnp.bfloat16)
                    for i in range(n)),
-        sides=tuple(float(s) for s in z["sides"]))
+        sides=tuple(float(s) for s in z["sides"]),
+        sh_degree=int(z["sh_degree"]) if "sh_degree" in z else 0)
 
 
 @dataclass(frozen=True)
@@ -259,7 +321,7 @@ class PlaybackRenderer:
             # CHANNEL-SECOND (z', 4, y', x') — a minor-most dim of 4
             # tile-pads 32-64x on TPU (HBM traffic, not just footprint)
             t = (2 - perm[2], 3, 2 - perm[1], 2 - perm[0])
-            v = jnp.transpose(v, t)
+            v = jnp.transpose(v, t)          # (z', C, y', x')
             if flip:
                 v = v[::-1]
             self._vol_cache[key] = jax.device_put(v)
@@ -267,13 +329,14 @@ class PlaybackRenderer:
 
     # -- the jitted compositing program --------------------------------
 
-    def _program(self, D, P, Q, zb):
-        key = (D, P, Q, zb)
+    def _program(self, D, P, Q, zb, C):
+        key = (D, P, Q, zb, C)
         if key in self._program_cache:
             return self._program_cache[key]
         t_near = float(self.opts.t_start_min)
+        B = (C - 1) // 3
 
-        def run(vol, zs, e, prange, qrange, side, t_in, t_out):
+        def run(vol, zs, e, prange, qrange, side, t_in, t_out, basis):
             """Composite one cascade onto the (Q, P) ray grid.
 
             vol     (D, 4, D, D)  channel-second slabs, t-ascending z'
@@ -284,6 +347,8 @@ class PlaybackRenderer:
             side    ()            cascade cube side
             t_in/t_out (Q, P)     inner-cube entry/exit per ray
                                   (+inf => innermost: everything front)
+            basis   (B, Q, P)     per-ray SH basis values (ones for
+                                  diffuse caches)
             Returns (rgb_f (3,Q,P), od_f (Q,P), rgb_b, od_b).
             """
             # ANGLE-uniform ray grid: grid cell i holds the ray with
@@ -305,7 +370,7 @@ class PlaybackRenderer:
 
             def block(carry, xs):
                 rgb_f, od_f, rgb_b, od_b = carry
-                slabs, z_blk = xs               # (zb, 4, D, D), (zb,)
+                slabs, z_blk = xs               # (zb, C, D, D), (zb,)
                 # per-slice separable map onto the ray grid, as two
                 # interpolation matmuls (the MXU does the resampling)
                 h_k = (z_blk - e[2])                           # (zb,)
@@ -331,8 +396,11 @@ class PlaybackRenderer:
                 # chain, fused by XLA into one pass over the block)
                 for i in range(zb):
                     t_k = (z_blk[i] - e[2]) * norm             # (Q, P)
-                    sig = jnp.maximum(smp[i, 3], 0.0)
-                    rgb_k = smp[i, :3] / jnp.maximum(sig, 1e-9)[None]
+                    sig = jnp.maximum(smp[i, C - 1], 0.0)
+                    cols = smp[i, :3 * B].reshape(B, 3, Q, P)
+                    rgb_k = jnp.maximum(
+                        (cols * basis[:, None]).sum(0), 0.0) \
+                        / jnp.maximum(sig, 1e-9)[None]
                     od_k = sig * dt_img
                     live = t_k > t_near
                     f_m = live & (t_k < t_in)
@@ -351,7 +419,7 @@ class PlaybackRenderer:
             zeros1 = jnp.zeros((Q, P), jnp.float32)
             carry, _ = jax.lax.scan(
                 block, (zeros3, zeros1, zeros3, zeros1),
-                (vol.reshape(D // zb, zb, 4, D, D),
+                (vol.reshape(D // zb, zb, C, D, D),
                  zs.reshape(D // zb, zb)))
             return carry
 
@@ -410,6 +478,27 @@ class PlaybackRenderer:
 
             prange = np.asarray([pmin, (pmax - pmin) / P], np.float32)
             qrange = np.asarray([qmin, (qmax - qmin) / Q], np.float32)
+            # per-grid-ray SH basis from WORLD directions (un-flip z',
+            # inverse-permute slots back to world axes)
+            B = (self.cache.sh_degree + 1) ** 2 \
+                if self.cache.sh_degree else 1
+            ag_ = prange[0] + (np.arange(P, dtype=np.float32) + 0.5) \
+                * prange[1]
+            bg2 = qrange[0] + (np.arange(Q, dtype=np.float32) + 0.5) \
+                * qrange[1]
+            rx_g = np.broadcast_to(np.tan(ag_)[None, :], (Q, P))
+            ry_g = np.broadcast_to(np.tan(bg2)[:, None], (Q, P))
+            nrm_g = np.sqrt(rx_g ** 2 + ry_g ** 2 + 1.0)
+            if self.cache.sh_degree:
+                dz_p = (1.0 / nrm_g) * (-1.0 if flip else 1.0)
+                d_world = np.empty((Q, P, 3), np.float32)
+                d_world[..., perm[0]] = rx_g / nrm_g
+                d_world[..., perm[1]] = ry_g / nrm_g
+                d_world[..., perm[2]] = dz_p
+                basis = sh_basis(d_world, self.cache.sh_degree)
+                basis = np.moveaxis(basis, -1, 0)          # (B, Q, P)
+            else:
+                basis = np.ones((1, Q, P), np.float32)
             if ci == 0:
                 t_in = np.full((Q, P), np.inf, np.float32)
                 t_out = np.full((Q, P), np.inf, np.float32)
@@ -435,11 +524,13 @@ class PlaybackRenderer:
                 t_in = np.where(miss, np.inf, t0x).astype(np.float32)
                 t_out = np.where(miss, np.inf, t1x).astype(np.float32)
 
-            fn = self._program(D, P, Q, opts.zb)
+            C = int(vol.shape[1])
+            fn = self._program(D, P, Q, opts.zb, C)
             res = fn(vol, jnp.asarray(zs), jnp.asarray(e, jnp.float32),
                      jnp.asarray(prange),
                      jnp.asarray(qrange), jnp.float32(side),
-                     jnp.asarray(t_in), jnp.asarray(t_out))
+                     jnp.asarray(t_in), jnp.asarray(t_out),
+                     jnp.asarray(basis))
             grids.append((res, P, Q, prange, qrange))
 
         # combine innermost-out on the FINE (cascade-0) ray grid:

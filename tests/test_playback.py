@@ -406,3 +406,83 @@ def test_testbed_playback_roundtrip(tmp_path):
     tb.load_playback(str(tmp_path / "pb.npz"))
     pb2 = tb.render_playback(16, 16)
     np.testing.assert_allclose(pb2, pb, atol=1e-2)
+
+
+class _DirLinearModel:
+    """rgb(d) = base + 0.3*d — exactly representable by degree-1 SH."""
+
+    def rgb_sigma(self, params, pos01, dir01, extra=None):
+        import jax.numpy as jnp
+        p = pos01
+        d = dir01 * 2.0 - 1.0
+        inside = ((p > 0.35) & (p < 0.65)).all(-1)
+        sigma = 50.0 * inside
+        base = jnp.stack([jnp.full_like(sigma, 0.5),
+                          jnp.full_like(sigma, 0.4),
+                          jnp.full_like(sigma, 0.45)], -1)
+        return jnp.clip(base + 0.3 * d, 0.0, 1.0), sigma
+
+
+def _tiny_trainer(model):
+    import types
+    from ngp_tpu.grid import occupancy as occ
+    tr = types.SimpleNamespace()
+    tr.model = model
+    tr.max_cascade = 0
+    tr.aabb_min = np.float32(0.0)
+    tr.aabb_size = np.float32(1.0)
+    tr.params = {}
+    tr.opt_state = None
+    tr.opt_cfg = None
+    tr.dataset = types.SimpleNamespace(
+        xforms=np.eye(4, dtype=np.float32)[None, :3])
+    tr.grid = types.SimpleNamespace(
+        bitfield=np.full((occ.NERF_CASCADES * occ.GRID_VOLUME // 8,),
+                         255, np.uint8))
+    return tr
+
+
+def test_sh_bake_matches_diffuse_on_dir_independent_model():
+    """SH of a direction-independent field reproduces the diffuse bake's
+    render exactly (constant -> c0 Y00 only)."""
+    from ngp_tpu.render.playback import bake_playback_cache
+
+    tr = _tiny_trainer(_AnalyticModel())
+    c_diff = bake_playback_cache(tr, D=32, params={},
+                                 ref_eye=np.float32([0.5, 0.5, -1.0]))
+    c_sh = bake_playback_cache(tr, D=32, params={}, sh_degree=1)
+    assert np.asarray(c_sh.vols[0]).shape[-1] == 13
+    W = H = 32
+    xf = _lookat_xform((0.5, 0.45, -1.2))
+    img_d = PlaybackRenderer(c_diff, PlaybackOptions(
+        width=W, height=H, int_scale=2.0)).render(xf, W, H,
+                                                  focal=(40., 40.))
+    img_s = PlaybackRenderer(c_sh, PlaybackOptions(
+        width=W, height=H, int_scale=2.0)).render(xf, W, H,
+                                                  focal=(40., 40.))
+    assert float(np.abs(img_s - img_d).max()) < 2e-2
+
+
+def test_sh_bake_captures_linear_view_dependence():
+    """A dir-linear rgb field is EXACT under degree-1 SH: rendering the
+    opaque box from opposite sides must show rgb(base +- 0.3*fwd), which
+    a diffuse bake cannot (it returns the same color both ways)."""
+    from ngp_tpu.render.playback import bake_playback_cache
+
+    tr = _tiny_trainer(_DirLinearModel())
+    cache = bake_playback_cache(tr, D=40, params={}, sh_degree=1)
+    W = H = 24
+    cols = {}
+    for tag, eye in [("front", (0.5, 0.5, -1.0)), ("back", (0.5, 0.5, 2.0))]:
+        xf = _lookat_xform(eye)
+        img = PlaybackRenderer(cache, PlaybackOptions(
+            width=W, height=H, int_scale=2.0)).render(
+            xf, W, H, focal=(52., 52.))
+        cols[tag] = img[H // 2, W // 2, :3]
+    # center rays: d = +z (front) / -z (back); rgb(d) = base + 0.3*d
+    # componentwise, so only the BLUE channel shifts by +-0.3
+    exp_front = np.float32([0.5, 0.4, 0.45 + 0.3])
+    exp_back = np.float32([0.5, 0.4, 0.45 - 0.3])
+    np.testing.assert_allclose(cols["front"], exp_front, atol=0.08)
+    np.testing.assert_allclose(cols["back"], exp_back, atol=0.08)
+    assert float(np.abs(cols["front"] - cols["back"]).max()) > 0.4

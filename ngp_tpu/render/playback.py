@@ -266,6 +266,70 @@ class PlaybackOptions:
     t_start_min: float = 0.05      # near clip (matches the live renderer)
 
 
+
+@functools.partial(jax.jit, static_argnums=())
+def _frame_angles(d_cam, M, min_dz):
+    """Per-frame ray angles on device: d_cam (HW,3) camera dirs, M (3,3)
+    rotation+permutation+flip. Returns ab (HW,2) angle coords, dz_ok
+    (HW,), and [amin, amax, bmin, bmax]."""
+    d_p = d_cam @ M.T
+    d_p = d_p / (jnp.linalg.norm(d_p, axis=-1, keepdims=True) + 1e-9)
+    dz_ok = d_p[:, 2] > min_dz
+    safe = jnp.where(dz_ok, d_p[:, 2], 1.0)
+    ab = jnp.stack([jnp.arctan(d_p[:, 0] / safe),
+                    jnp.arctan(d_p[:, 1] / safe)], -1)
+    big = jnp.float32(1e9)
+    a = jnp.where(dz_ok, ab[:, 0], big)
+    b = jnp.where(dz_ok, ab[:, 1], big)
+    rng = jnp.stack([a.min(), jnp.where(dz_ok, ab[:, 0], -big).max(),
+                     b.min(), jnp.where(dz_ok, ab[:, 1], -big).max()])
+    return ab, dz_ok, rng
+
+
+def _sh_basis_jnp(d, degree):
+    x, y, zc = d[..., 0], d[..., 1], d[..., 2]
+    out = [jnp.full_like(x, 0.282095)]
+    if degree >= 1:
+        out += [0.488603 * y, 0.488603 * zc, 0.488603 * x]
+    if degree >= 2:
+        out += [1.092548 * x * y, 1.092548 * y * zc,
+                0.315392 * (3 * zc * zc - 1.0),
+                1.092548 * x * zc,
+                0.546274 * (x * x - y * y)]
+    return jnp.stack(out, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _grid_setup(prange, qrange, e, P, Q, degree, has_inner, S, s_in):
+    """Per-cascade grid-ray geometry on device: inner-cube entry/exit
+    t per grid ray + SH basis from world dirs (S maps permuted dirs to
+    world dirs)."""
+    ag = prange[0] + (jnp.arange(P, dtype=jnp.float32) + 0.5) * prange[1]
+    bg = qrange[0] + (jnp.arange(Q, dtype=jnp.float32) + 0.5) * qrange[1]
+    rx = jnp.broadcast_to(jnp.tan(ag)[None, :], (Q, P))
+    ry = jnp.broadcast_to(jnp.tan(bg)[:, None], (Q, P))
+    nrm = jnp.sqrt(rx * rx + ry * ry + 1.0)
+    d_p = jnp.stack([rx / nrm, ry / nrm, 1.0 / nrm], -1)   # (Q, P, 3)
+    if has_inner:
+        lo = 0.5 - s_in / 2
+        hi = 0.5 + s_in / 2
+        t0x, t1x = ray_aabb_intersect(
+            jnp.broadcast_to(e, (Q, P, 3)), d_p,
+            jnp.stack([lo, lo, lo]), jnp.stack([hi, hi, hi]))
+        miss = t0x > t1x
+        t_in = jnp.where(miss, jnp.inf, t0x)
+        t_out = jnp.where(miss, jnp.inf, t1x)
+    else:
+        t_in = jnp.full((Q, P), jnp.inf, jnp.float32)
+        t_out = t_in
+    if degree:
+        d_w = jnp.einsum("ij,qpj->qpi", S, d_p)
+        basis = _sh_basis_jnp(d_w, degree)                 # (B, Q, P)
+    else:
+        basis = jnp.ones((1, Q, P), jnp.float32)
+    return t_in, t_out, basis
+
+
 # axis permutations: _PERMS[a] = world axes taking the (x', y', z') slots
 # when world axis ``a`` is the dominant (z') one
 _PERMS = ((2, 1, 0), (0, 2, 1), (0, 1, 2))
@@ -289,9 +353,15 @@ class PlaybackRenderer:
     # -- per-frame host-side setup ------------------------------------
 
     def _screen_dirs(self, W, H, fx, fy):
-        """(H*W, 3) camera-space ray directions incl. lens distortion
-        (snap-to-pixel-centers — the eval protocol's deterministic
-        sampling, ref: scripts/run.py:228-241)."""
+        """(H*W, 3) camera-space ray directions incl. lens distortion,
+        cached per intrinsics (snap-to-pixel-centers — the eval
+        protocol's deterministic sampling, ref: scripts/run.py:228-241).
+        Returned as a DEVICE array; all per-frame camera math runs on
+        device (host np at 2M pixels costs ~1 s/frame on this host)."""
+        key = ("dirs", W, H, float(fx), float(fy))
+        hit = self._vol_cache.get(key)
+        if hit is not None:
+            return hit
         o = self.opts
         cx, cy = o.principal
         px = (np.arange(W, dtype=np.float32) + 0.5) / W
@@ -309,8 +379,12 @@ class PlaybackRenderer:
                 jnp.asarray(dx.ravel()), jnp.asarray(dy.ravel()),
                 k1, k2, p1, p2)
             dx, dy = np.asarray(dx), np.asarray(dy)
-        return np.stack([np.ravel(dx), np.ravel(dy),
-                         np.ones(H * W, np.float32)], -1)
+        out = jax.device_put(np.stack(
+            [np.ravel(dx).astype(np.float32),
+             np.ravel(dy).astype(np.float32),
+             np.ones(H * W, np.float32)], -1))
+        self._vol_cache[key] = out
+        return out
 
     def _get_vol(self, ci, axis, flip):
         key = (ci, axis, flip)
@@ -439,32 +513,27 @@ class PlaybackRenderer:
         fx, fy = (focal, focal) if np.isscalar(focal) else focal
         xf = np.asarray(xform, np.float32).reshape(3, 4)
         e_w = xf[:, 3]
-        d_cam = self._screen_dirs(W, H, fx, fy)              # (HW, 3)
-        d_w = d_cam @ xf[:, :3].T
-        d_w /= np.linalg.norm(d_w, axis=-1, keepdims=True) + 1e-9
+        d_cam = self._screen_dirs(W, H, fx, fy)              # (HW, 3) dev
 
         fwd = xf[:, 2]
         axis = int(np.argmax(np.abs(fwd)))
         perm = _PERMS[axis]
         flip = bool(fwd[axis] < 0)
         e = e_w[list(perm)].copy()
-        d_p = d_w[:, list(perm)].copy()
         if flip:
             # mirror z' -> 1 - z' (cascade cubes are centered at 0.5, so
             # they map onto themselves; volumes are flipped in _get_vol)
             e[2] = 1.0 - e[2]
-            d_p[:, 2] = -d_p[:, 2]
+        # fold world rotation + axis permutation + flip into ONE 3x3:
+        # row j of M produces permuted-dir component j
+        M = np.asarray(xf[:, :3])[list(perm), :].copy()
+        if flip:
+            M[2] *= -1.0
+        ab, dz_ok, rng = _frame_angles(d_cam, jnp.asarray(M),
+                                       np.float32(opts.min_dz))
+        pmin, pmax, qmin, qmax = (float(v) for v in np.asarray(rng))
 
         n_casc = len(self.cache.vols)
-        dz_ok = d_p[:, 2] > opts.min_dz
-        safe_dz = np.where(dz_ok, d_p[:, 2], 1.0)
-        # angle-uniform ray coordinates (see _program): bounded even for
-        # near-horizontal rays, so oblique pixels can't stretch the grid
-        ab = np.stack([np.arctan(d_p[:, 0] / safe_dz),
-                       np.arctan(d_p[:, 1] / safe_dz)], -1)   # (HW, 2)
-        sel = ab[dz_ok] if dz_ok.any() else ab
-        pmin, pmax = float(sel[:, 0].min()), float(sel[:, 0].max())
-        qmin, qmax = float(sel[:, 1].min()), float(sel[:, 1].max())
 
         grids = []   # per cascade: (result, P, Q, prange, qrange)
         for ci in range(n_casc):
@@ -478,59 +547,25 @@ class PlaybackRenderer:
 
             prange = np.asarray([pmin, (pmax - pmin) / P], np.float32)
             qrange = np.asarray([qmin, (qmax - qmin) / Q], np.float32)
-            # per-grid-ray SH basis from WORLD directions (un-flip z',
-            # inverse-permute slots back to world axes)
-            B = (self.cache.sh_degree + 1) ** 2 \
-                if self.cache.sh_degree else 1
-            ag_ = prange[0] + (np.arange(P, dtype=np.float32) + 0.5) \
-                * prange[1]
-            bg2 = qrange[0] + (np.arange(Q, dtype=np.float32) + 0.5) \
-                * qrange[1]
-            rx_g = np.broadcast_to(np.tan(ag_)[None, :], (Q, P))
-            ry_g = np.broadcast_to(np.tan(bg2)[:, None], (Q, P))
-            nrm_g = np.sqrt(rx_g ** 2 + ry_g ** 2 + 1.0)
-            if self.cache.sh_degree:
-                dz_p = (1.0 / nrm_g) * (-1.0 if flip else 1.0)
-                d_world = np.empty((Q, P, 3), np.float32)
-                d_world[..., perm[0]] = rx_g / nrm_g
-                d_world[..., perm[1]] = ry_g / nrm_g
-                d_world[..., perm[2]] = dz_p
-                basis = sh_basis(d_world, self.cache.sh_degree)
-                basis = np.moveaxis(basis, -1, 0)          # (B, Q, P)
-            else:
-                basis = np.ones((1, Q, P), np.float32)
-            if ci == 0:
-                t_in = np.full((Q, P), np.inf, np.float32)
-                t_out = np.full((Q, P), np.inf, np.float32)
-            else:
-                # inner-cube entry/exit per grid ray (world-unit t)
-                ag = prange[0] + (np.arange(P, dtype=np.float32) + 0.5) \
-                    * prange[1]
-                bg_ = qrange[0] + (np.arange(Q, dtype=np.float32) + 0.5) \
-                    * qrange[1]
-                rx = np.broadcast_to(np.tan(ag)[None, :], (Q, P))
-                ry = np.broadcast_to(np.tan(bg_)[:, None], (Q, P))
-                nrm = np.sqrt(rx * rx + ry * ry + 1.0)
-                dirs = np.stack([rx / nrm, ry / nrm, 1.0 / nrm], -1)
-                s_in = self.cache.sides[ci - 1]
-                lo_i, hi_i = 0.5 - s_in / 2, 0.5 + s_in / 2
-                t0x, t1x = ray_aabb_intersect(
-                    jnp.asarray(np.broadcast_to(e, (Q, P, 3))),
-                    jnp.asarray(dirs),
-                    jnp.asarray([lo_i, lo_i, lo_i], jnp.float32),
-                    jnp.asarray([hi_i, hi_i, hi_i], jnp.float32))
-                t0x, t1x = np.asarray(t0x), np.asarray(t1x)
-                miss = t0x > t1x
-                t_in = np.where(miss, np.inf, t0x).astype(np.float32)
-                t_out = np.where(miss, np.inf, t1x).astype(np.float32)
+            # grid-ray geometry (inner-cube split t's, SH basis from
+            # world dirs) computed ON DEVICE; S maps permuted dirs back
+            # to world axes (transpose of the pure perm/flip part of M)
+            S = np.zeros((3, 3), np.float32)
+            S[perm[0], 0] = 1.0
+            S[perm[1], 1] = 1.0
+            S[perm[2], 2] = -1.0 if flip else 1.0
+            t_in, t_out, basis = _grid_setup(
+                jnp.asarray(prange), jnp.asarray(qrange),
+                jnp.asarray(e, jnp.float32), P, Q,
+                int(self.cache.sh_degree), ci > 0, jnp.asarray(S),
+                jnp.float32(self.cache.sides[ci - 1] if ci else 1.0))
 
             C = int(vol.shape[1])
             fn = self._program(D, P, Q, opts.zb, C)
             res = fn(vol, jnp.asarray(zs), jnp.asarray(e, jnp.float32),
                      jnp.asarray(prange),
                      jnp.asarray(qrange), jnp.float32(side),
-                     jnp.asarray(t_in), jnp.asarray(t_out),
-                     jnp.asarray(basis))
+                     t_in, t_out, basis)
             grids.append((res, P, Q, prange, qrange))
 
         # combine innermost-out on the FINE (cascade-0) ray grid:

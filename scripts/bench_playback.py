@@ -49,6 +49,9 @@ def main():
     p.add_argument("--skip_path", action="store_true")
     p.add_argument("--save_cache", default="")
     p.add_argument("--load_cache", default="")
+    p.add_argument("--sh", type=int, default=0,
+                   help="spherical-harmonic degree for the view-"
+                        "dependence bake (0 = diffuse)")
     p.add_argument("--ref_view", type=int, default=-1,
                    help="bake rgb toward this training view's camera "
                         "instead of the mean camera (view-dependence "
@@ -85,7 +88,7 @@ def main():
         ref_eye = None if args.ref_view < 0 else \
             np.asarray(ds.xforms[args.ref_view][:, 3])
         cache = bake_playback_cache(tr, D=args.d, D_inner=args.d_inner,
-                                    ref_eye=ref_eye)
+                                    ref_eye=ref_eye, sh_degree=args.sh)
         occ_frac = [float((np.asarray(v[..., 3], np.float32) > 0).mean())
                     for v in cache.vols]
         print("bake: %.1fs  (D=%d inner=%d, occ %s)" % (

@@ -40,6 +40,7 @@ def main():
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--zb", type=int, default=8)
+    p.add_argument("--extra", action="store_true")
     args = p.parse_args()
     from ngp_tpu.render.playback import (PlaybackOptions, PlaybackRenderer,
                                          load_playback_cache)
@@ -59,14 +60,18 @@ def main():
     # per-cascade program timing with real inputs (reuse cached programs)
     D0 = int(cache.vols[0].shape[0])
     P, Q = W, H
-    prog = r._program(D0, P, Q, args.zb)
+    Cc = int(np.asarray(cache.vols[0]).shape[-1])
+    prog = r._program(D0, P, Q, args.zb, Cc)
     vol = r._get_vol(0, 2, False)
     zs = jnp.linspace(0.0, 1.0, D0)
     e = jnp.asarray([0.5, 0.5, -1.2], jnp.float32)
     pr = jnp.asarray([-0.45, 0.9 / P], jnp.float32)
     qr = jnp.asarray([-0.3, 0.6 / Q], jnp.float32)
     inf2 = jnp.full((Q, P), np.inf, jnp.float32)
-    t = timeit(prog, vol, zs, e, pr, qr, jnp.float32(1.0), inf2, inf2)
+    Bb = (Cc - 1) // 3
+    ones_b = jnp.ones((Bb, Q, P), jnp.float32)
+    t = timeit(prog, vol, zs, e, pr, qr, jnp.float32(1.0), inf2, inf2,
+               ones_b)
     print("cascade0 program (D=%d, %dx%d): %.0f ms" % (D0, P, Q, t * 1e3),
           flush=True)
 
@@ -103,9 +108,9 @@ def main():
                              preferred_element_type=jnp.float32)
             return acc + smp.sum(0), None
 
-        acc0 = jnp.zeros((4, Q, P), jnp.float32)
+        acc0 = jnp.zeros((Cc, Q, P), jnp.float32)
         acc, _ = jax.lax.scan(block, acc0,
-                              (vol.reshape(D0 // args.zb, args.zb, 4,
+                              (vol.reshape(D0 // args.zb, args.zb, Cc,
                                            D0, D0),
                                zs.reshape(D0 // args.zb, args.zb)))
         return acc
@@ -133,7 +138,7 @@ def main():
             return acc + Wx.sum(), None
 
         acc, _ = jax.lax.scan(block, jnp.zeros((), jnp.float32),
-                              (vol.reshape(D0 // args.zb, args.zb, 4,
+                              (vol.reshape(D0 // args.zb, args.zb, Cc,
                                            D0, D0),
                                zs.reshape(D0 // args.zb, args.zb)))
         return acc
@@ -141,6 +146,68 @@ def main():
     f = jax.jit(weights_only)
     t = timeit(f, vol, zs, e, pr, qr, jnp.float32(1.0))
     print("weights+volscan-only: %.0f ms" % (t * 1e3), flush=True)
+
+    if args.extra:
+        extra_variants(cache, W, H, zb=args.zb)
+
+
+def extra_variants(cache, W, H, zb=8):
+    """Try resample reformulations: fused-N big matmuls vs batched
+    einsums (chases the 9% MXU util of the default lowering)."""
+    import jax
+    import jax.numpy as jnp
+    D0 = int(cache.vols[0].shape[0])
+    C = int(np.asarray(cache.vols[0]).shape[-1])
+    P, Q = W, H
+    v = cache.vols[0]  # (D,D,D,C) storage (z,y,x,c)
+    vol_yc = jax.device_put(jnp.transpose(v, (0, 1, 3, 2)))  # (z,y,c,x)
+    e = jnp.asarray([0.5, 0.5, -1.2], jnp.float32)
+    pr = jnp.asarray([-0.45, 0.9 / P], jnp.float32)
+    qr = jnp.asarray([-0.3, 0.6 / Q], jnp.float32)
+
+    def fused(vol, zs, e, prange, qrange, side):
+        alpha = prange[0] + (jnp.arange(P, dtype=jnp.float32) + 0.5) \
+            * prange[1]
+        beta = qrange[0] + (jnp.arange(Q, dtype=jnp.float32) + 0.5) \
+            * qrange[1]
+        rx = jnp.tan(alpha)
+        ry = jnp.tan(beta)
+        vox = side / D0
+
+        def block(acc, xs):
+            slabs, z_blk = xs                       # (zb, D, C, D)
+            h_k = (z_blk - e[2])
+            ux = (e[0] + rx[None, :] * h_k[:, None]
+                  - (0.5 - side / 2)) / vox - 0.5
+            uy = (e[1] + ry[None, :] * h_k[:, None]
+                  - (0.5 - side / 2)) / vox - 0.5
+            j = jnp.arange(D0, dtype=jnp.float32)
+            Wx = jnp.clip(1.0 - jnp.abs(ux[..., None] - j),
+                          0, 1).astype(jnp.bfloat16)
+            Wy = jnp.clip(1.0 - jnp.abs(uy[..., None] - j),
+                          0, 1).astype(jnp.bfloat16)
+            rhs = slabs.reshape(zb, D0, C * D0).astype(jnp.bfloat16)
+            a = jnp.einsum("kqy,kyX->kqX", Wy, rhs,
+                           preferred_element_type=jnp.bfloat16)
+            a = a.reshape(zb, Q, C, D0).transpose(0, 2, 1, 3)  # k,c,q,x
+            smp = jnp.einsum("kpx,kcqx->kcqp", Wx, a,
+                             preferred_element_type=jnp.float32)
+            return acc + smp.sum(0), None
+
+        acc0 = jnp.zeros((C, Q, P), jnp.float32)
+        acc, _ = jax.lax.scan(block, acc0,
+                              (vol.reshape(D0 // zb, zb, D0, C, D0),
+                               jnp.linspace(0., 1., D0).reshape(
+                                   D0 // zb, zb)))
+        return acc
+
+    f = jax.jit(fused)
+    t = timeit(f, vol_yc, None, e, pr, qr, jnp.float32(1.0))
+    print("fused-N resample: %.0f ms" % (t * 1e3), flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("PB_EXTRA"):
+    pass
 
 
 if __name__ == "__main__":

@@ -174,9 +174,13 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
         return jnp.concatenate([rgb * sigma, sigma], -1)
 
     vols, sides = [], []
+    d_list = list(D) if isinstance(D, (list, tuple)) else None
     for c in range(n_casc):
         side = float(2.0 ** c)
-        Dc = D_inner if (c == 0 and D_inner) else D
+        if d_list is not None:
+            Dc = d_list[min(c, len(d_list) - 1)]
+        else:
+            Dc = D_inner if (c == 0 and D_inner) else D
         ax = _cascade_lattice(Dc, side)
         # occupancy ownership per voxel: its 128^3 cell bit at mip c
         # small dtypes + per-axis factorization: a naive (Dc,Dc,Dc) int64

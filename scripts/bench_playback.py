@@ -38,6 +38,8 @@ def main():
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--d", type=int, default=256)
+    p.add_argument("--d_list", type=int, nargs="*", default=None,
+                   help="per-cascade bake resolutions, e.g. 512 512 256")
     p.add_argument("--d_inner", type=int, default=512)
     p.add_argument("--int_scale", type=float, default=1.0)
     p.add_argument("--outer_int_scale", type=float, default=0.5)
@@ -87,9 +89,10 @@ def main():
     else:
         ref_eye = None if args.ref_view < 0 else \
             np.asarray(ds.xforms[args.ref_view][:, 3])
-        cache = bake_playback_cache(tr, D=args.d, D_inner=args.d_inner,
-                                    ref_eye=ref_eye, sh_degree=args.sh)
-        occ_frac = [float((np.asarray(v[..., 3], np.float32) > 0).mean())
+        cache = bake_playback_cache(
+            tr, D=args.d_list if args.d_list else args.d,
+            D_inner=args.d_inner, ref_eye=ref_eye, sh_degree=args.sh)
+        occ_frac = [float((np.asarray(v[..., -1], np.float32) > 0).mean())
                     for v in cache.vols]
         print("bake: %.1fs  (D=%d inner=%d, occ %s)" % (
             time.time() - t0, args.d, args.d_inner,

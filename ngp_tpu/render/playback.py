@@ -125,6 +125,14 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
     if params is None:
         params = inference_params(trainer.params, trainer.opt_state,
                                   trainer.opt_cfg)
+    nearest_cams = None
+    if isinstance(ref_eye, str) and ref_eye == "nearest":
+        # per-voxel direction toward the NEAREST training camera: always
+        # an in-distribution viewing direction (a single mean eye
+        # extrapolates the MLP's dir response at poorly-covered surfaces)
+        nearest_cams = jnp.asarray(
+            np.asarray(trainer.dataset.xforms)[:, :3, 3])
+        ref_eye = np.asarray(trainer.dataset.xforms)[:, :3, 3].mean(0)
     if ref_eye is None:
         ref_eye = np.asarray(trainer.dataset.xforms)[:, :3, 3].mean(0)
     ref_eye = np.asarray(ref_eye, np.float32)
@@ -165,7 +173,12 @@ def bake_playback_cache(trainer, D: int = 256, D_inner: Optional[int] = None,
             sigma = sigma.astype(jnp.float32)[:, None]
             return jnp.concatenate(
                 [coef.reshape(n, 3 * B) * sigma, sigma], -1)
-        d = pos - eye_dev[None]
+        if nearest_cams is not None:
+            d2 = ((pos[:, None, :] - nearest_cams[None]) ** 2).sum(-1)
+            eye_v = nearest_cams[jnp.argmin(d2, axis=1)]
+        else:
+            eye_v = eye_dev[None]
+        d = pos - eye_v
         d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
         rgb, sigma = trainer.model.rgb_sigma(params, pos01,
                                              d * 0.5 + 0.5, extra=extra)

@@ -57,7 +57,7 @@ def main():
     p.add_argument("--ref_view", type=int, default=-1,
                    help="bake rgb toward this training view's camera "
                         "instead of the mean camera (view-dependence "
-                        "ablation)")
+                        "ablation); -2 = nearest camera per voxel")
     p.add_argument("--dump", default="",
                    help="prefix: write <p>_pb.png/<p>_live.png/<p>_gt.png")
     args = p.parse_args()
@@ -87,8 +87,11 @@ def main():
         cache = load_playback_cache(args.load_cache)
         print("cache loaded: %.1fs" % (time.time() - t0), flush=True)
     else:
-        ref_eye = None if args.ref_view < 0 else \
-            np.asarray(ds.xforms[args.ref_view][:, 3])
+        if args.ref_view == -2:
+            ref_eye = "nearest"
+        else:
+            ref_eye = None if args.ref_view < 0 else \
+                np.asarray(ds.xforms[args.ref_view][:, 3])
         cache = bake_playback_cache(
             tr, D=args.d_list if args.d_list else args.d,
             D_inner=args.d_inner, ref_eye=ref_eye, sh_degree=args.sh)

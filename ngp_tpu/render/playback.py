@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ngp_tpu.common import linear_to_srgb_np
+from ngp_tpu.common import srgb_to_linear_np
 from ngp_tpu.grid import occupancy as occ
 from ngp_tpu.rays.camera import (iterative_opencv_undistort,
                                  ray_aabb_intersect)
@@ -606,9 +606,16 @@ class PlaybackRenderer:
                               jnp.asarray(opts.background, jnp.float32),
                               H, W)
         img = np.asarray(img, np.float32)
-        if not opts.linear_out:
+        # the baked rgb lives in the MODEL'S composite space — sRGB
+        # unless the trainer used train_in_linear_colors (the reference
+        # trains against sRGB targets); linear_out converts the
+        # composite exactly like the live renderer does
+        # (nerf_render.py:1176). Skipping this double-applies the sRGB
+        # curve downstream and brightens dark regions catastrophically
+        # (fox: 13.6 dB of the playback-vs-live gap).
+        if opts.linear_out:
             img = np.concatenate(
-                [linear_to_srgb_np(np.clip(img[..., :3], 0, 1)),
+                [srgb_to_linear_np(np.clip(img[..., :3], 0.0, None)),
                  img[..., 3:4]], -1)
         return img
 

@@ -163,7 +163,7 @@ def test_playback_matches_brute_force_single_cascade(eye):
     W = H = 40
     fx = fy = 44.0
     r = PlaybackRenderer(cache, PlaybackOptions(
-        width=W, height=H, int_scale=2.0, zb=8, linear_out=True))
+        width=W, height=H, int_scale=2.0, zb=8, linear_out=False))
     img = r.render(xf, W, H, focal=(fx, fy))
     ref = _brute_force(cache, xf, W, H, fx, fy)
     assert np.isfinite(img).all()
@@ -177,7 +177,8 @@ def test_playback_matches_brute_force_nested_cascades():
     W = H = 40
     fx = fy = 36.0
     r = PlaybackRenderer(cache, PlaybackOptions(
-        width=W, height=H, int_scale=2.0, outer_int_scale=2.0, zb=8))
+        width=W, height=H, int_scale=2.0, outer_int_scale=2.0, zb=8,
+        linear_out=False))
     img = r.render(xf, W, H, focal=(fx, fy))
     ref = _brute_force(cache, xf, W, H, fx, fy)
     assert np.isfinite(img).all()
@@ -206,7 +207,7 @@ def test_playback_axis_symmetry():
             eye = np.float32([0.5, 0.5, 0.5])
             eye[axis_] -= 1.5 * s
             r = PlaybackRenderer(cache, PlaybackOptions(
-                width=W, height=H, int_scale=2.0))
+                width=W, height=H, int_scale=2.0, linear_out=False))
             imgs.append(r.render(_lookat_xform(eye), W, H,
                                  focal=(40.0, 40.0)))
     for im in imgs[1:]:
@@ -308,7 +309,7 @@ def test_bake_geometry_matches_brute_force():
     for eye in [(0.5, 0.45, -1.3), (0.42, 0.52, 0.47)]:
         xf = _lookat_xform(eye, target=(0.55, 0.5, 0.5))
         r = PlaybackRenderer(cache, PlaybackOptions(
-            width=W, height=H, int_scale=2.0))
+            width=W, height=H, int_scale=2.0, linear_out=False))
         img = r.render(xf, W, H, focal=(44.0, 44.0))
         ref = _brute_force(cache, xf, W, H, 44.0, 44.0)
         assert np.isfinite(img).all()
@@ -360,7 +361,8 @@ def test_bake_geometry_multicascade():
     for eye in [(0.5, 0.48, -0.2), (0.55, 0.5, 0.52)]:
         xf = _lookat_xform(eye, target=(0.5, 0.52, 0.55))
         r = PlaybackRenderer(cache, PlaybackOptions(
-            width=W, height=H, int_scale=2.0, outer_int_scale=2.0))
+            width=W, height=H, int_scale=2.0, outer_int_scale=2.0,
+            linear_out=False))
         img = r.render(xf, W, H, focal=(40.0, 40.0))
         ref = _brute_force(cache, xf, W, H, 40.0, 40.0)
         err = float(np.abs(img - ref).mean())
@@ -455,11 +457,11 @@ def test_sh_bake_matches_diffuse_on_dir_independent_model():
     W = H = 32
     xf = _lookat_xform((0.5, 0.45, -1.2))
     img_d = PlaybackRenderer(c_diff, PlaybackOptions(
-        width=W, height=H, int_scale=2.0)).render(xf, W, H,
-                                                  focal=(40., 40.))
+        width=W, height=H, int_scale=2.0, linear_out=False)).render(
+        xf, W, H, focal=(40., 40.))
     img_s = PlaybackRenderer(c_sh, PlaybackOptions(
-        width=W, height=H, int_scale=2.0)).render(xf, W, H,
-                                                  focal=(40., 40.))
+        width=W, height=H, int_scale=2.0, linear_out=False)).render(
+        xf, W, H, focal=(40., 40.))
     assert float(np.abs(img_s - img_d).max()) < 2e-2
 
 
@@ -476,7 +478,7 @@ def test_sh_bake_captures_linear_view_dependence():
     for tag, eye in [("front", (0.5, 0.5, -1.0)), ("back", (0.5, 0.5, 2.0))]:
         xf = _lookat_xform(eye)
         img = PlaybackRenderer(cache, PlaybackOptions(
-            width=W, height=H, int_scale=2.0)).render(
+            width=W, height=H, int_scale=2.0, linear_out=False)).render(
             xf, W, H, focal=(52., 52.))
         cols[tag] = img[H // 2, W // 2, :3]
     # center rays: d = +z (front) / -z (back); rgb(d) = base + 0.3*d

@@ -488,3 +488,24 @@ def test_sh_bake_captures_linear_view_dependence():
     np.testing.assert_allclose(cols["front"], exp_front, atol=0.08)
     np.testing.assert_allclose(cols["back"], exp_back, atol=0.08)
     assert float(np.abs(cols["front"] - cols["back"]).max()) > 0.4
+
+
+def test_linear_out_applies_srgb_to_linear():
+    """linear_out converts the model-space (sRGB) composite exactly like
+    the live renderer (nerf_render.py:1176) — regression guard for the
+    round-5 double-sRGB bug (+9 dB on fox once fixed)."""
+    from ngp_tpu.common import srgb_to_linear_np
+
+    cache = _smooth_cache(n_casc=1, D=24)
+    xf = _lookat_xform((0.5, 0.5, -1.2))
+    W = H = 24
+    raw = PlaybackRenderer(cache, PlaybackOptions(
+        width=W, height=H, linear_out=False)).render(
+        xf, W, H, focal=(28., 28.))
+    lin = PlaybackRenderer(cache, PlaybackOptions(
+        width=W, height=H, linear_out=True)).render(
+        xf, W, H, focal=(28., 28.))
+    np.testing.assert_allclose(
+        lin[..., :3], srgb_to_linear_np(np.clip(raw[..., :3], 0, None)),
+        atol=1e-5)
+    np.testing.assert_allclose(lin[..., 3], raw[..., 3], atol=1e-6)
